@@ -1,0 +1,293 @@
+"""Aggregations (SURVEY.md §2.4): groupBy/multi-agg/describe/distinct/
+rollup/cube/grouping sets/conditional/having.
+
+Scale posture: every aggregate here is a declarative groupBy — Spark plans
+partial (map-side) aggregation before the shuffle, so bytes shuffled are
+proportional to group cardinality, not input rows. That is exactly the
+plan that survives 100 TB; tests/test_plans.py asserts partial_ agg nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+
+@register(
+    "groupby_count",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS row_cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EDA staple: df.groupBy(...).count() (SURVEY.md §2.4)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("row_cnt"))
+    )
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (TPC-H Q1 shape, SURVEY.md §7.2): filter + groupBy + 8 aggs.
+
+    Filter is pushed to the parquet scan; partial aggregation means the
+    shuffle carries 6 groups regardless of input size — the canonical
+    scale-proof aggregation plan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_describe",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           COUNT(l_quantity) AS cnt,
+           ROUND(AVG(l_quantity), 6) AS mean_val,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_val,
+           MIN(l_quantity) AS min_val,
+           MAX(l_quantity) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(l_extendedprice),
+           ROUND(AVG(l_extendedprice), 6),
+           ROUND(STDDEV_SAMP(l_extendedprice), 6),
+           MIN(l_extendedprice),
+           MAX(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           COUNT(l_discount),
+           ROUND(AVG(l_discount), 6),
+           ROUND(STDDEV_SAMP(l_discount), 6),
+           MIN(l_discount),
+           MAX(l_discount)
+    FROM lineitem
+    """,
+)
+def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.describe() re-expressed deterministically (SURVEY.md §2.4).
+
+    One row per numeric column with count/mean/stddev/min/max — same
+    information as the reference's canonical ``df.describe()`` EDA step,
+    but typed and aliased for oracle comparison. Single pass per column
+    set via one wide agg then unpivoted by unionByName (no shuffle growth).
+    """
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(colname: str) -> DataFrame:
+        return li.agg(
+            F.lit(colname).alias("column_name"),
+            F.count(colname).alias("cnt"),
+            F.round(F.avg(colname), 6).alias("mean_val"),
+            F.round(F.stddev_samp(colname), 6).alias("stddev_val"),
+            F.min(colname).alias("min_val"),
+            F.max(colname).alias("max_val"),
+        )
+
+    out = one("l_quantity")
+    for c in ("l_extendedprice", "l_discount"):
+        out = out.unionByName(one(c))
+    return out
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS order_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Spark plans a two-stage expand+agg."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            F.count("*").alias("order_cnt"),
+        )
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx_count_distinct (SURVEY.md §2.4) — approximate, so
+    rows-only check by design (§7.4: never near the hash-checked set).
+
+    At 100 TB this is THE distinct-count operator: fixed-size sketch per
+    group, mergeable map-side, no expand explosion.
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           COUNT(*) AS order_cnt,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY.md §2.4)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           COUNT(*) AS order_cnt,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping combinations (SURVEY.md §2.4)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           COUNT(*) AS order_cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL over a temp view (SURVEY.md §3 EP2 — the SQL
+    entry point shares the exact Catalyst pipeline with the DataFrame API)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               COUNT(*) AS order_cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS finished_value,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_cnt,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation: SUM(CASE WHEN ...) (SURVEY.md §2.4)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2).alias(
+            "finished_value"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_cnt"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_cnt"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS order_cnt,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING SUM(o_totalprice) > 1500000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter (SURVEY.md §2.4).
+
+    The HAVING predicate uses the unrounded sum on both engines; only the
+    projected value is rounded. Boundary risk is nil because order-of-
+    addition error (~1e-9) cannot straddle a 7-digit threshold comparison
+    at these magnitudes... but the local parity test verifies exactly.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.sum("o_totalprice").alias("_raw_spend"),
+        )
+        .where(F.col("_raw_spend") > 1500000)
+        .drop("_raw_spend")
+    )

@@ -1,0 +1,71 @@
+"""Query registry: the single source of truth behind ``__spark_entry__.py``.
+
+Every operator module registers its query keys here with:
+- ``fn``:      ``(spark, sf_dir) -> DataFrame`` (pure, lazy, no collect)
+- ``oracle``:  equivalent DuckDB-runnable ANSI SQL, or ``None`` for
+               genuinely non-SQL-expressible ops (ML training, LSH, approx
+               sketches, streaming state) — those get the driver's weaker
+               rows-only check (SURVEY.md §2, §7.4).
+
+Contract invariants enforced by convention here (SURVEY.md §7.5):
+- every computed/aggregate column is aliased identically in fn and oracle;
+- doubles produced by order-sensitive float aggregation are rounded
+  in-query on BOTH sides so values are bit-identical;
+- timestamps in outputs are formatted to strings on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register ``fn`` under ``name`` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query key: {name}")
+        QUERIES[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load_all_modules() -> None:
+    """Import every operator module so registration side effects run."""
+    import classification_problem_with_pyspark_spark.operators.relational  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.joins  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.aggregates  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.windows  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.setops  # noqa: F401
+    import classification_problem_with_pyspark_spark.functions.scalar_suites  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.events  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.udfs  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.ml  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.llm  # noqa: F401
+
+
+def get_queries() -> dict[str, QueryFn]:
+    load_all_modules()
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    load_all_modules()
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -1,0 +1,148 @@
+"""Catalog: explicit StructTypes + loaders for the ten testdata tables.
+
+The reference's schema handling is CSV `inferSchema=True` (SURVEY.md §1.3);
+our engine pins explicit schemas so oracle schema checks can never be
+surprised by inference drift. Schemas transcribed from FIXTURES.md
+(measured from the parquet, 2026-08-13).
+
+100-TB note (SURVEY.md §7.6): loaders return lazy DataFrames over the
+parquet paths; no caching or collecting here. On a cluster the same code
+reads a partitioned directory instead of a single file — path in, plan out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            # parquet holds timestamp[ns]; Spark reads at µs precision —
+            # values carry only µs so truncation is lossless (FIXTURES.md).
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES: tuple[str, ...] = tuple(SCHEMAS)
+
+
+def path_for(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Lazy parquet scan for one table.
+
+    We intentionally do NOT pass the schema to ``spark.read`` — parquet is
+    self-describing and supplying a mismatched timestamp unit would disable
+    the vectorized reader's pushdown; instead the explicit SCHEMAS are used
+    by tests to assert the scan yields exactly what the catalog declares.
+    """
+    if table not in SCHEMAS:
+        raise KeyError(f"unknown table {table!r}; known: {TABLES}")
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
+        # default (PARQUET_TYPE_ILLEGAL). Read it as int64 nanos and
+        # convert to µs TimestampType — values carry only µs precision so
+        # the truncation is lossless, and DuckDB truncates identically
+        # (FIXTURES.md events; SURVEY.md §7.5).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path_for(sf_dir, table))
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path_for(sf_dir, table))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so every query is runnable via spark.sql too."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,35 @@
+"""Oracle-differential test (primary gate, SURVEY.md §5.1-5.2).
+
+Runs EVERY registered query that declares an oracle and asserts exact
+parity with DuckDB at sf0.01 — the same comparison the driver makes.
+Rows-only queries are smoke-run (executes + schema is stable).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+from tests.conftest import SF_DIR
+from tests.parity import compare
+
+load_all_modules()
+
+ORACLE_KEYS = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY_KEYS = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(name, spark, oracle_con):
+    q = QUERIES[name]
+    ok, msg = compare(name, q.fn(spark, SF_DIR), q.oracle, oracle_con)
+    assert ok, msg
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_smoke(name, spark):
+    q = QUERIES[name]
+    df = q.fn(spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0

@@ -1,0 +1,177 @@
+"""Scalar function suites (SURVEY.md §2.8): string/date/math/array/JSON.
+
+All expressions are JVM-side built-ins (whole-stage codegen) — zero Python
+in the row path (SURVEY.md §7.6). Each suite doubles as a dialect map:
+the oracle SQL documents the exact DuckDB equivalent of every Spark
+function used, including the traps (Spark dayofweek is 1=Sunday vs DuckDB
+0=Sunday; Spark log() is natural log = DuckDB ln; Spark split() takes a
+regex; DuckDB lists are 1-indexed like element_at).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+
+@register(
+    "scalar_string_suite",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS segment_lower,
+           LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CONCAT_WS('|', c_mktsegment, c_name) AS tagged,
+           TRIM(CONCAT(' ', c_name, ' ')) AS trimmed,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+           REPLACE(c_name, 'Customer', 'Cust') AS renamed
+    FROM customer
+    """,
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions over customer names (SURVEY.md §2.8 'R')."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("renamed"),
+    )
+
+
+@register(
+    "scalar_datetime_suite",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           -- DuckDB dayofweek: 0=Sunday; Spark: 1=Sunday → +1 here
+           dayofweek(o_orderdate) + 1 AS order_dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def scalar_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions — the reference's dates→features step."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_95"
+        ),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "scalar_math_suite",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           ROUND(sqrt(l_extendedprice), 6) AS price_sqrt,
+           ROUND(ln(l_extendedprice), 6) AS price_ln,        -- Spark log() = ln
+           ROUND(log10(l_extendedprice), 6) AS price_log10,
+           ROUND(pow(l_discount, 2), 6) AS disc_sq,
+           abs(l_quantity - 25) AS qty_dev,
+           floor(l_extendedprice / 1000) AS price_k_floor,
+           ceil(l_extendedprice / 1000) AS price_k_ceil,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+    FROM lineitem
+    """,
+)
+def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions over lineitem measures (SURVEY.md §2.8)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
+    "scalar_array_suite",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4)
+               AS vec_sum,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6)
+               AS vec_max,
+           len(list_filter(embedding, x -> x > 0)) AS positive_cnt
+    FROM embeddings
+    """,
+)
+def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the 64-d embedding column (SURVEY.md §2.8 'N').
+
+    Sums run in DOUBLE on both engines (list_transform cast ↔ Spark
+    transform cast) — float32 accumulation would diverge past round(·,4).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.round(F.array_max(as_double), 6).alias("vec_max"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("positive_cnt"),
+    )
+
+
+@register(
+    "scalar_json_suite",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+                THEN 'high' ELSE 'low' END AS k_bucket
+    FROM events
+    """,
+)
+def scalar_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column.
+
+    get_json_object ↔ json_extract_string; both return NULL on missing
+    keys. At scale prefer from_json with an explicit schema once per
+    column over repeated path extraction.
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        "event_type",
+        k.alias("k_val"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )

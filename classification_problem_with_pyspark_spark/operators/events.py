@@ -1,0 +1,210 @@
+"""Event-stream operators, batch-first (SURVEY.md §2.9).
+
+Strategy per the survey: every streaming aggregation is implemented as a
+batch DataFrame query with exact oracle parity, and the IDENTICAL logic is
+wrapped in Structured Streaming (streaming/wrappers.py) with an
+availableNow trigger — rows-only checked, since watermark semantics are
+not DuckDB-expressible.
+
+Scale posture: tumbling/sliding windows shuffle by (window, key) with
+map-side partial aggregation; sessionization is one shuffle by user_id +
+one ordered pass (gaps-and-islands) — the same shapes Structured
+Streaming's stateful operators use internally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS event_cnt,
+           ROUND(SUM(value), 2) AS value_sum,
+           COUNT(DISTINCT user_id) AS unique_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the streaming op).
+
+    Uses F.window — the exact operator the streaming wrapper reuses; its
+    window.start for a 1h tumble equals date_trunc('hour') since windows
+    align to the epoch.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("hour_start"),
+            "event_type",
+            "event_cnt",
+            "value_sum",
+            "unique_users",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH offsets AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(k))
+    SELECT strftime(
+               -- floor() before the cast: DuckDB CAST(double AS BIGINT)
+               -- ROUNDS, Spark's epoch truncates — boundary events diverge
+               to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - k * 900)
+                   AT TIME ZONE 'UTC',
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS event_cnt,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour span, 15-minute slide (SURVEY.md §2.9).
+
+    Each event lands in exactly 4 windows (span/slide); Spark's F.window
+    does the fan-out natively. The oracle replays the same fan-out with a
+    4-row offsets cross join on epoch arithmetic.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_cnt",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "stream_session_30m",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, SUM(is_new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           session_no,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS event_cnt,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with 30-minute gap, batch twin (SURVEY.md §7.4
+    hard part): gaps-and-islands — flag gap>30min, cumulative-sum the
+    flags into session numbers, aggregate per session.
+
+    The streaming wrapper uses F.session_window over the same input;
+    this batch twin makes the semantics oracle-checkable.
+    """
+    e = load(spark, sf_dir, "events")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_ts = F.lag("ts").over(worder)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    flagged = e.withColumn(
+        "is_new_session",
+        F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_no", F.sum("is_new_session").over(wcum))
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
+            F.count("*").alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "events_distinct_users_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS unique_users,
+           COUNT(*) AS event_cnt
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users — the BASELINE.md reference query shape."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.countDistinct("user_id").alias("unique_users"),
+            F.count("*").alias("event_cnt"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "unique_users", "event_cnt")
+    )
+
+
+@register("stream_watermark_demo", oracle=None)
+def stream_watermark_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data semantics, batch-computable surface
+    (rows-only: watermark semantics are not DuckDB-expressible).
+
+    Shows which per-hour aggregates a 10-minute watermark would have
+    finalized vs still-open given the observed max event time — the same
+    accounting Structured Streaming's state store does. The true streaming
+    path (withWatermark + availableNow) lives in streaming/wrappers.py and
+    is exercised by tests/test_streaming.py.
+    """
+    e = load(spark, sf_dir, "events")
+    max_ts = e.agg(F.max("ts").alias("max_ts"))
+    hourly = e.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("event_cnt")
+    )
+    return (
+        hourly.crossJoin(F.broadcast(max_ts))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("hour_start"),
+            "event_cnt",
+            (F.col("w.end") <= F.col("max_ts") - F.expr("INTERVAL 10 MINUTES")).alias(
+                "finalized_by_watermark"
+            ),
+        )
+    )

@@ -126,11 +126,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            user_id,
            ROUND(SUM(value) OVER (PARTITION BY user_id
-                                  ORDER BY epoch(ts)
+                                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
                  2) AS value_1h,
            COUNT(*) OVER (PARTITION BY user_id
-                          ORDER BY epoch(ts)
+                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_1h
     FROM events
     """,

@@ -1,0 +1,73 @@
+"""ML determinism tests (SURVEY.md §5.4): fixed seeds, schema/rowcount of
+transform output, metric sanity ranges, model persist/load roundtrip.
+
+The embeddings fixture's labels are synthetic (accuracy ≈ chance per
+FIXTURES.md) — we assert pipeline SHAPE and metric bounds, not skill.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
+
+from classification_problem_with_pyspark_spark.operators.ml import (
+    _embedding_features,
+    split_train_test,
+)
+from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+from tests.conftest import SF_DIR
+
+load_all_modules()
+
+
+def test_feature_pipeline_shape(spark):
+    out = QUERIES["ml_feature_pipeline"].fn(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == 500  # documents rowcount at sf0.01 (FIXTURES.md)
+    dims = {r["feature_dim"] for r in rows}
+    assert len(dims) == 1  # every row assembled to the same dimensionality
+    assert out.columns == ["doc_id", "lang_idx", "source_idx", "feature_dim"]
+
+
+def test_split_is_deterministic(spark):
+    feats = _embedding_features(spark, SF_DIR)
+    a_train, a_test = split_train_test(feats)
+    b_train, b_test = split_train_test(feats)
+    assert a_train.count() == b_train.count()
+    assert sorted(r.vec_id for r in a_test.select("vec_id").collect()) == sorted(
+        r.vec_id for r in b_test.select("vec_id").collect()
+    )
+
+
+def test_evaluator_metrics_in_range(spark):
+    rows = {r["metric"]: r["value"] for r in QUERIES["ml_evaluate"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "binary:areaUnderROC",
+        "binary:areaUnderPR",
+        "multiclass:accuracy",
+        "multiclass:f1",
+        "multiclass:weightedPrecision",
+    }
+    for k, v in rows.items():
+        assert 0.0 <= v <= 1.0, (k, v)
+
+
+def test_model_persist_load_roundtrip(spark):
+    feats = _embedding_features(spark, SF_DIR)
+    train, test = split_train_test(feats)
+    model = LogisticRegression(
+        featuresCol="features", labelCol="label_bin", maxIter=5, regParam=0.01
+    ).fit(train)
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    path = tempfile.mkdtemp(dir="/root/repo/.tmp")
+    try:
+        model.write().overwrite().save(path)
+        loaded = LogisticRegressionModel.load(path)
+        orig = model.transform(test).select("vec_id", "prediction").collect()
+        redo = loaded.transform(test).select("vec_id", "prediction").collect()
+        assert sorted(map(tuple, orig)) == sorted(map(tuple, redo))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

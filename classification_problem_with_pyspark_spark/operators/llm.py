@@ -1,0 +1,412 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.12, mandated by
+BASELINE.json's north star): deduplication (exact / n-gram Jaccard /
+SimHash / MinHash-LSH), similarity search (brute-force cosine + LSH),
+text analysis (token stats, quality scoring, TF-IDF), language report.
+
+Scale posture (the whole point of these operators at 100 TB):
+- exact dedup: hash-groupBy — one shuffle on a 16-byte key, never on text;
+- SimHash: explode→bit-vote→reassemble, all integer math, linear;
+- n-gram Jaccard: candidate pairs restricted by a blocking key (lang) —
+  the all-pairs form is only legal inside a block; MinHash-LSH is the
+  unblocked scale path;
+- brute-force cosine is the CORRECTNESS baseline (O(N²), oracle-checked);
+  BucketedRandomProjectionLSH is the scale path (candidate generation via
+  bucket-join, no full cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.functions.vector import cosine_similarity
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+STOPWORDS = ("data", "row", "query", "the", "of")
+
+
+@register(
+    "llm_dedup_exact_hash",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           COUNT(*) AS dup_cnt,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def llm_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection: md5 over normalized text, keep groups
+    with >1 member, keeper = lowest doc_id (deterministic survivorship).
+
+    At scale the shuffle key is the 16-byte digest, never the document —
+    dedup of 100 TB of text shuffles only hashes + ids.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim("text"))).alias("text_hash"))
+        .agg(F.count("*").alias("dup_cnt"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+    FROM toks a
+    JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+          / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+    """,
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact token-set Jaccard ≥ 0.8 over candidate
+    pairs blocked by lang (SURVEY.md §2.12).
+
+    Blocking is what makes pairwise comparison legal: pairs are generated
+    per block, never across the whole corpus. |A∩B| and |A∪B| are integer
+    sizes, so the ratio is bit-identical on both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), F.col("ts").alias("ts_a")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("ts").alias("ts_b")
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "llm_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        )
+    ), th AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(term), 1, 8))::UBIGINT AS BIGINT) AS h
+        FROM tok
+    ), bits AS (SELECT unnest(range(16)) AS b),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN bits
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    """,
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (SURVEY.md §2.12): per-token md5-derived
+    16-bit hash, per-bit majority vote, reassembled into one integer whose
+    Hamming distance approximates token-set similarity.
+
+    Engine-portable trick: the token hash is the first 32 bits of md5 —
+    identical in Spark and DuckDB — instead of murmur3 F.hash, which is
+    Spark-private. All math is integer → exact parity. Linear in tokens;
+    the O(N²) step (Hamming neighbor search) happens downstream on the
+    16-bit fingerprint space, not on documents.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+    th = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    bits = F.broadcast(spark.range(16).select(F.col("id").cast("int").alias("b")))
+    p = F.pow(F.lit(2.0), F.col("b")).cast("long")
+    votes = (
+        th.crossJoin(bits)
+        .select(
+            "doc_id",
+            "b",
+            F.when((F.col("h") / p).cast("long") % 2 == 1, 1).otherwise(-1).alias("vote"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+@register("llm_dedup_minhash", oracle=None)
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup join (the unblocked scale path): shingle →
+    HashingTF sparse vector → MinHashLSH → approxSimilarityJoin.
+
+    Approximate by construction (SURVEY.md §7.4) → rows-only. Candidate
+    pairs come from LSH band-bucket joins — at 100 TB this is the only
+    near-dup strategy that avoids an N² comparison.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
+
+    d = load(spark, sf_dir, "documents")
+    pipe_input = d.select("doc_id", "text")
+    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(pipe_input)
+    grams = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(tokens)
+    grams = grams.where(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18).transform(grams)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, threshold=0.8, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@register(
+    "llm_similarity_topk",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS qid,
+               b.vec_id AS nid,
+               ROUND(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT qid, nid, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, nid) AS neighbor_rank
+    FROM pairs
+    QUALIFY neighbor_rank <= 5
+    """,
+)
+def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors — the exact ANN baseline
+    (SURVEY.md §2.12). Double math throughout; ranking on the ROUNDED
+    similarity with nid tie-break so the top-k boundary is deterministic
+    on both engines.
+
+    O(N²) by design: this is the correctness oracle for the LSH variant
+    (llm_similarity_lsh), and legal only at bounded N. At 100 TB the
+    cross product never materializes — the LSH/IVF path generates
+    candidates instead.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("emb_b"))
+    sim = F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("cosine_sim"))
+        .withColumn("neighbor_rank", F.row_number().over(w))
+        .where(F.col("neighbor_rank") <= 5)
+    )
+
+
+@register("llm_similarity_lsh", oracle=None)
+def llm_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate neighbor search — the scale path.
+    BucketedRandomProjectionLSH hashes vectors into buckets; candidate
+    pairs come from bucket joins (linear-ish), not a cross product.
+    Approximate → rows-only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, threshold=8.0, distCol="l2_dist")
+    return (
+        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("l2_dist", 6).alias("l2_dist"),
+        )
+    )
+
+
+@register(
+    "llm_multimodal_join",
+    oracle="""
+    SELECT d.doc_id,
+           d.lang,
+           d.source,
+           d.n_chars,
+           len(e.embedding) AS emb_dim,
+           e.label
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: text metadata ⋈ vector modality into one
+    row (documents⋈embeddings on doc_id=vec_id). The embedding side is the
+    smaller modality table → broadcast."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(F.broadcast(e), d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size("embedding").alias("emb_dim"),
+        "label",
+    )
+
+
+_STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+@register(
+    "llm_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           lang,
+           length(text) AS char_len,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS bpe_ish_tokens,
+           ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6)
+               AS avg_token_span,
+           ROUND(CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                                      t -> t IN {_STOP_SQL})) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis (SURVEY.md §2.12): char length,
+    whitespace token count, BPE-ish regex token count, average token
+    span, stopword ratio. All JVM-side string/array built-ins — the
+    100-TB quality-scoring hot path has no Python in it."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("char_len"),
+        F.size(toks).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]"), 0)).alias("bpe_ish_tokens"),
+        F.round(F.length("text").cast("double") / F.size(toks), 6).alias("avg_token_span"),
+        F.round(
+            F.size(F.array_intersect(toks, stop_arr)).cast("double") / F.size(toks), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "llm_lang_report",
+    oracle="""
+    SELECT lang,
+           source,
+           COUNT(*) AS doc_cnt,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           COUNT(CASE WHEN n_chars > 200 THEN 1 END) AS long_docs
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def llm_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (lang, source) doc counts + length
+    distribution + conditional long-doc count."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("doc_cnt"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count(F.when(F.col("n_chars") > 200, 1)).alias("long_docs"),
+    )
+
+
+@register(
+    "llm_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1) AS tfidf_raw
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id,
+           term AS top_term,
+           ROUND(tfidf_raw, 6) AS tfidf
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term) = 1
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with the smoothed-idf formula, computed with pure DataFrame
+    ops (explode → two groupBys → join) — fully oracle-checkable, unlike
+    the MLlib HashingTF/IDF pipeline whose hashed features can't be.
+    Emits each document's top term (tie-break: term asc).
+
+    Both engines compute tf·(ln((1+N)/(1+df))+1) with the same scalar op
+    sequence → bit-identical doubles; ranking uses the raw value.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1)
+            ).alias("tfidf_raw"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf_raw", 6).alias("tfidf"))
+    )

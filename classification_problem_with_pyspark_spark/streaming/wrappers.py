@@ -1,0 +1,120 @@
+"""Structured Streaming wrappers over the batch twins (SURVEY.md §2.9).
+
+Design: each §2.9 aggregation is defined ONCE as a transformation over an
+unbounded-looking DataFrame; the batch twin (operators/events.py) runs it
+on a static frame with exact oracle parity, and these wrappers run the
+IDENTICAL logic through readStream → withWatermark → writeStream with an
+availableNow trigger (process-everything-then-stop), proving the logic is
+stream-executable with bounded state.
+
+The parquet streaming source needs a directory it can list; the testdata
+is single read-only files, so ``_stage_stream_input`` copies the events
+file into a repo-local staging dir (never touching /root/testdata) and
+rewrites ts to µs (the ns schema is as illegal for readStream as for
+batch — SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+_STAGE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+
+def _stage_stream_input(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize events as a µs-timestamp parquet DIRECTORY for the file
+    stream source. Returns (input_dir, checkpoint_dir)."""
+    run_id = uuid.uuid4().hex[:8]
+    base = os.path.join(_STAGE_ROOT, f"stream_{run_id}")
+    input_dir = os.path.join(base, "input")
+    checkpoint = os.path.join(base, "checkpoint")
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(input_dir)
+    return input_dir, checkpoint
+
+
+def cleanup_stage(input_dir: str) -> None:
+    shutil.rmtree(os.path.dirname(input_dir), ignore_errors=True)
+
+
+def tumbling_hourly_stream(events: DataFrame) -> DataFrame:
+    """Identical aggregation to operators/events.py::stream_tumbling_hourly,
+    plus a 10-minute watermark bounding state (SURVEY.md §7.6: state via
+    watermarks, never unbounded)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "event_cnt",
+            "value_sum",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame) -> DataFrame:
+    """Native session_window aggregation (30-minute gap) — the streaming
+    counterpart of the gaps-and-islands batch twin."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("event_cnt"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "event_cnt",
+            "value_sum",
+        )
+    )
+
+
+def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup: first event per (user_id, event_type)
+    with watermark-bounded state — the streaming twin of dedup_exact."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+def run_available_now(
+    spark: SparkSession, sf_dir: str, transform, query_name: str
+) -> list:
+    """Drive a streaming transform end-to-end: stage input → readStream →
+    transform → memory sink with availableNow trigger → collected rows.
+
+    availableNow processes the full backlog then stops — the pattern for
+    incremental batch over a growing 100-TB event lake (each run picks up
+    new files only, tracked by the checkpoint).
+    """
+    input_dir, checkpoint = _stage_stream_input(spark, sf_dir)
+    try:
+        schema = spark.read.parquet(input_dir).schema
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        out = transform(stream)
+        sink_name = f"{query_name}_{uuid.uuid4().hex[:6]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append" if "dedup" in query_name else "complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.sql(f"SELECT * FROM {sink_name}").collect()
+    finally:
+        cleanup_stage(input_dir)

@@ -1,0 +1,49 @@
+"""Structured Streaming wrapper tests (SURVEY.md §2.9): each streaming op
+runs end-to-end (readStream → watermark → agg → memory sink, availableNow)
+and its result is cross-checked against the batch twin where the twin is
+exact (tumbling); stateful ops get shape/consistency checks.
+
+Uses sf0.001 (1,000 events) — streaming startup dominates runtime.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from classification_problem_with_pyspark_spark.operators.events import stream_tumbling_hourly
+from classification_problem_with_pyspark_spark.streaming.wrappers import (
+    dedup_within_watermark_stream,
+    run_available_now,
+    session_window_stream,
+    tumbling_hourly_stream,
+)
+from tests.conftest import SF_DIR_SMOKE
+
+
+@pytest.mark.streaming
+def test_tumbling_stream_matches_batch_twin(spark):
+    rows = run_available_now(spark, SF_DIR_SMOKE, tumbling_hourly_stream, "tumble")
+    stream_res = {(r.hour_start, r.event_type): (r.event_cnt, r.value_sum) for r in rows}
+    batch = stream_tumbling_hourly(spark, SF_DIR_SMOKE).collect()
+    batch_res = {(r.hour_start, r.event_type): (r.event_cnt, r.value_sum) for r in batch}
+    # availableNow + complete mode processes the full backlog → the
+    # streaming result must equal the batch twin exactly.
+    assert stream_res == batch_res
+
+
+@pytest.mark.streaming
+def test_session_window_stream_runs(spark):
+    rows = run_available_now(spark, SF_DIR_SMOKE, session_window_stream, "session")
+    assert len(rows) > 0
+    by_user_events = sum(r.event_cnt for r in rows)
+    assert by_user_events <= 1000  # closed sessions only (watermark may hold back the tail)
+    for r in rows:
+        assert r.session_start <= r.session_end
+
+
+@pytest.mark.streaming
+def test_dedup_within_watermark_stream(spark):
+    rows = run_available_now(spark, SF_DIR_SMOKE, dedup_within_watermark_stream, "dedup")
+    seen = {(r.user_id, r.event_type) for r in rows}
+    assert len(seen) == len(rows)  # no (user, type) pair emitted twice
+    assert len(rows) > 0

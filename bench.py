@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology (BASELINE.md implications):
+- ONE warm SparkSession for everything; a trivial action first absorbs
+  JVM/codegen warm-up so per-query numbers measure the queries.
+- Queries materialize via the noop sink (full execution, no driver
+  collect cost).
+- value = sum of per-query wall times (the comparable number; session
+  startup is reported separately inside the JSON but not in value).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+from classification_problem_with_pyspark_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the BASELINE.md shapes + one per extension family.
+HEADLINE = [
+    "agg_pricing_summary",      # TPC-H Q1 shape (flagship)
+    "topk_revenue",             # TPC-H Q3 shape
+    "window_topn_per_group",    # window rank
+    "events_distinct_users_daily",
+    "join_semi",
+    "agg_rollup",
+    "scalar_json_suite",        # string/json shape
+    "join_asof_events",         # custom operator
+    "stream_session_30m",       # sessionization
+    "llm_dedup_exact_hash",     # dedup family
+    "llm_similarity_topk",      # ANN brute-force baseline
+    "llm_tfidf",                # text analysis
+]
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    t_start = time.time()
+    spark = get_spark(app_name="bench")
+    spark.range(1).count()  # absorb session/JVM warm-up
+    startup_s = time.time() - t_start
+
+    load_all_modules()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "startup_sec": round(startup_s, 3),
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

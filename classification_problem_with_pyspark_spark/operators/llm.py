@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.functions.vector import cosine_similarity
+from classification_problem_with_pyspark_spark.functions.vector import dot, norm
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -220,12 +220,21 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates instead.
     """
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("emb_b"))
-    sim = F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
+    # Norms are computed ONCE per vector (narrow), not per pair — cuts the
+    # per-pair work to a single dot product. The candidate side broadcasts;
+    # the probe side is repartitioned so the nested loop parallelizes
+    # across cores/executors (the single-file scan would otherwise run the
+    # whole N² loop in one task).
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_a")).withColumn(
+        "norm_a", norm(F.col("emb_a"))
+    ).repartition(64)
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("emb_b")).withColumn(
+        "norm_b", norm(F.col("emb_b"))
+    )
+    sim = F.round(dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 6)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("qid") != F.col("nid"))
         .select("qid", "nid", sim.alias("cosine_sim"))
         .withColumn("neighbor_rank", F.row_number().over(w))

@@ -1,0 +1,69 @@
+"""Physical-plan assertions (SURVEY.md §4): correctness tests prove the
+rows; these prove the SCALE posture — pushdown, pruning, broadcast,
+partial aggregation, top-k without global sort.
+"""
+
+from __future__ import annotations
+
+from classification_problem_with_pyspark_spark.plans.explain import (
+    assert_in_plan,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+)
+from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+from tests.conftest import SF_DIR
+
+load_all_modules()
+
+
+def test_flagship_filter_pushdown_and_pruning(spark):
+    df = QUERIES["agg_pricing_summary"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+    rs = read_schemas(df)
+    # Column pruning: the 11-column lineitem scan must read only the 7
+    # referenced columns — no l_orderkey/l_partkey/l_suppkey.
+    assert "l_orderkey" not in rs and "l_partkey" not in rs, rs
+
+
+def test_filter_compound_pushdown(spark):
+    df = QUERIES["filter_compound"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    for col in ("l_quantity", "l_returnflag", "l_discount"):
+        assert col in pf, f"{col} not pushed: {pf}"
+
+
+def test_dim_join_broadcasts(spark):
+    df = QUERIES["join_broadcast_dim"].fn(spark, SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_semi_and_anti_join_shapes(spark):
+    semi = formatted_plan(QUERIES["join_semi"].fn(spark, SF_DIR))
+    anti = formatted_plan(QUERIES["join_anti"].fn(spark, SF_DIR))
+    assert "LeftSemi" in semi, semi
+    assert "LeftAnti" in anti, anti
+
+
+def test_aggregation_is_partial_before_exchange(spark):
+    plan = formatted_plan(QUERIES["agg_pricing_summary"].fn(spark, SF_DIR))
+    assert "partial_sum" in plan and "partial_count" in plan, plan
+    # partial agg must appear before the exchange in the plan tree
+    assert plan.index("partial_sum") > plan.index("Exchange") or "Exchange" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = formatted_plan(QUERIES["topk_revenue"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    plan = formatted_plan(QUERIES["computed_column"].fn(spark, SF_DIR))
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "codegen id" in plan, plan
+
+
+def test_range_join_broadcasts_interval_side(spark):
+    plan = formatted_plan(QUERIES["join_range_events"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan

@@ -365,6 +365,273 @@ def llm_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Character-bigram language profiles for the n-gram language-ID heuristic.
+# Deterministic and engine-portable: score = raw replaced-length delta per
+# signature bigram (integer), argmax with alphabetical tie-break.
+LANG_PROFILES = {
+    "de": ("er", "en"),
+    "en": ("th", "he"),
+    "es": ("os", "es"),
+    "fr": ("le", "la"),
+    "zh": ("ng", "sh"),
+}
+
+
+def _langid_score_sql(pats: tuple[str, str]) -> str:
+    return " + ".join(
+        f"(length(text) - length(replace(text, '{p}', '')))" for p in pats
+    )
+
+
+_LANGID_CASE_SQL = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(
+        f"s_{lang} >= s_{other}" for other in sorted(LANG_PROFILES) if other > lang
+    )
+    + f" THEN '{lang}'"
+    if lang != sorted(LANG_PROFILES)[-1]
+    else f"ELSE '{lang}'"
+    for lang in sorted(LANG_PROFILES)
+) + " END"
+
+
+@register(
+    "llm_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_langid_score_sql(p)} AS s_{l}" for l, p in sorted(LANG_PROFILES.items()))}
+        FROM documents
+    )
+    SELECT doc_id,
+           lang AS tagged_lang,
+           {_LANGID_CASE_SQL} AS predicted_lang,
+           (lang = {_LANGID_CASE_SQL}) AS is_match
+    FROM scored
+    """,
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by character-n-gram profile scoring
+    (SURVEY.md §2.12 text analysis): each language is a set of signature
+    character bigrams; a document's score per language is the total
+    matched-bigram mass (length delta after deleting the bigram), and
+    the prediction is the argmax with alphabetical tie-break.
+
+    All integer string math on JVM built-ins (length/replace) — no Python,
+    no tokenization shuffle; a single narrow projection that scales
+    embarrassingly at 100 TB. Real deployments swap the profile table for
+    trained ones (e.g. fastText buckets) behind the same shape.
+    """
+    d = load(spark, sf_dir, "documents")
+
+    def score(pats: tuple[str, str]):
+        t = F.col("text")
+        return sum(
+            (F.length(t) - F.length(F.replace(t, F.lit(p), F.lit("")))) for p in pats
+        )
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[score(p).alias(f"s_{l}") for l, p in sorted(LANG_PROFILES.items())],
+    )
+    langs = sorted(LANG_PROFILES)
+    pred = F.lit(langs[-1])
+    expr = None
+    for lang in langs[:-1]:
+        cond = None
+        for other in langs:
+            if other > lang:
+                c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+                cond = c if cond is None else (cond & c)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("tagged_lang"),
+        pred.alias("predicted_lang"),
+        (F.col("lang") == pred).alias("is_match"),
+    )
+
+
+@register(
+    "llm_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS ts
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang,
+               least(length(text) / 500.0, 1.0) AS len_score,
+               CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS ttr,
+               CAST(len(list_filter(list_distinct(ts), x -> x IN {_STOP_SQL}))
+                    AS DOUBLE) / len(ts) AS stop_ratio
+        FROM t
+    )
+    SELECT doc_id, lang,
+           ROUND(len_score, 6) AS len_score,
+           ROUND(ttr, 6) AS type_token_ratio,
+           ROUND(0.4 * len_score + 0.4 * ttr + 0.2 * (1.0 - stop_ratio), 6)
+               AS quality,
+           CASE WHEN ROUND(0.4 * len_score + 0.4 * ttr + 0.2 * (1.0 - stop_ratio), 6) >= 0.75
+                THEN 'high'
+                WHEN ROUND(0.4 * len_score + 0.4 * ttr + 0.2 * (1.0 - stop_ratio), 6) >= 0.55
+                THEN 'medium'
+                ELSE 'low' END AS quality_bucket
+    FROM c
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (SURVEY.md §2.12): weighted blend
+    of length score (saturating at 500 chars), type-token ratio, and
+    stopword penalty, bucketed into high/medium/low on the ROUNDED score
+    so the bucket boundary is identical on both engines.
+
+    Pure built-ins, one narrow projection — the canonical pre-training
+    corpus filter shape ("keep quality >= threshold") with no shuffle at
+    all until the downstream filter writes.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    stop_ratio = F.size(F.array_intersect(toks, stop_arr)).cast("double") / F.size(toks)
+    quality = F.round(0.4 * len_score + 0.4 * ttr + 0.2 * (1.0 - stop_ratio), 6)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        quality.alias("quality"),
+        F.when(quality >= 0.75, "high")
+        .when(quality >= 0.55, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), pt AS (
+        SELECT doc_id,
+               unnest(ts) AS term,
+               generate_subscripts(ts, 1) AS pos
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(SUM((CAST(('0x' || substring(md5(term), 1, 8))::UBIGINT AS BIGINT)
+                     % 1000003) * ((pos - 1) % 31 + 1))
+                % 1000000007 AS BIGINT) AS fingerprint,
+           COUNT(*) AS n_tokens
+    FROM pt
+    GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint via positional rolling hash
+    (SURVEY.md §2.12): token hash (first 32 bits of md5 — engine-portable,
+    unlike Spark-private murmur3) weighted by position-mod-31, summed mod
+    1e9+7. Unlike a bag-of-words hash, token REORDERING changes the value.
+
+    All integer math (no float drift); per-token contribution < 2^25 so a
+    500-token doc sums < 2^34 — no bigint overflow. One explode + one
+    groupBy on doc_id: linear, map-side combinable, 100 TB-safe.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term"))
+    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % 1000003
+    contrib = h * ((F.col("pos") % 31) + 1)
+    return tok.groupBy("doc_id").agg(
+        (F.sum(contrib) % 1000000007).alias("fingerprint"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+@register(
+    "llm_dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a,
+           b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+    """,
+)
+def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup detection (SURVEY.md §2.12): emit vector
+    pairs whose cosine similarity clears a threshold — semantic dedup, the
+    complement of the lexical MinHash/SimHash variants.
+
+    Brute-force all-pairs is the oracle-checkable CORRECTNESS baseline
+    (threshold 0.4 ≈ the top-0.1% of random-pair similarity here); the
+    100 TB path replaces pair generation with llm_similarity_lsh /
+    llm_similarity_ivf candidate buckets and keeps this same filter.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = (
+        e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+        .withColumn("norm_a", norm(F.col("emb_a")))
+        .repartition(64)
+    )
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")).withColumn(
+        "norm_b", norm(F.col("emb_b"))
+    )
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= 0.4)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
+    )
+
+
+@register("llm_similarity_ivf", oracle=None)
+def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate neighbor search (SURVEY.md §2.12): a KMeans
+    coarse quantizer assigns every vector to a cell; neighbor candidates
+    are generated ONLY within the same cell (nprobe=1), then ranked by
+    exact cosine with a per-query window top-3.
+
+    The inverted-file structure is what survives 100 TB: the all-pairs
+    product shrinks from N² to Σ|cell|², and cells are the shuffle/join
+    key so each executor searches its own partition of the index.
+    KMeans is seeded but not SQL-expressible → rows-only check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
+    assigned = km.fit(e).transform(e).select("vec_id", "embedding", "cell")
+    a = assigned.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_a"), "cell"
+    ).withColumn("norm_a", norm(F.col("emb_a")))
+    b = assigned.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("emb_b"), F.col("cell").alias("cell_b")
+    ).withColumn("norm_b", norm(F.col("emb_b")))
+    sim = F.round(dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("qid") != F.col("nid")))
+        .select("qid", "nid", "cell", sim.alias("cosine_sim"))
+        .withColumn("neighbor_rank", F.row_number().over(w))
+        .where(F.col("neighbor_rank") <= 3)
+    )
+
+
 @register(
     "llm_tfidf",
     oracle="""

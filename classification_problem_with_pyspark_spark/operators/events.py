@@ -182,6 +182,25 @@ def events_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_stateful_user_totals", oracle=None)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end arbitrary-state streaming (SURVEY.md §2.9 'arbitrary
+    state' row): per-user running totals maintained in a custom GroupState
+    via applyInPandasWithState, driven through readStream → availableNow →
+    memory sink. Custom streaming state is not DuckDB-expressible →
+    rows-only check; the per-user totals themselves are asserted against
+    the batch groupBy in tests/test_streaming.py.
+    """
+    from classification_problem_with_pyspark_spark.streaming.wrappers import (
+        run_available_now_df,
+        stateful_user_totals_stream,
+    )
+
+    return run_available_now_df(
+        spark, sf_dir, stateful_user_totals_stream, "stateful_user_totals", output_mode="update"
+    )
+
+
 @register("stream_watermark_demo", oracle=None)
 def stream_watermark_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + late-data semantics, batch-computable surface

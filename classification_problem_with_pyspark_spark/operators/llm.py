@@ -666,7 +666,11 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is already distinct on (doc_id, term), so document frequency is a
+    # plain count over it — one partial-aggregated shuffle of (term, tf)
+    # pairs instead of re-shuffling the full exploded token stream through
+    # a count-distinct.
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n"))
     scored = (
         tf.join(df_, "term")

@@ -90,11 +90,49 @@ def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(
-    spark: SparkSession, sf_dir: str, transform, query_name: str
-) -> list:
-    """Drive a streaming transform end-to-end: stage input → readStream →
-    transform → memory sink with availableNow trigger → collected rows.
+def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful operator (SURVEY.md §2.9 last row):
+    ``applyInPandasWithState`` keeps a per-user running (event_cnt,
+    value_sum) across micro-batches and emits the running totals on every
+    update — the custom-state escape hatch when built-in windowed aggs
+    can't express the logic (e.g. online feature counters).
+
+    State is keyed by user_id, so at scale it shards across executors with
+    the shuffle; each group's state is a 16-byte tuple regardless of event
+    volume — bounded state by construction.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        cnt, vs = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            vs += float(pdf["value"].sum())
+        state.update((cnt, vs))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "event_cnt": [cnt], "value_sum": [round(vs, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_cnt long, value_sum double",
+        stateStructType="event_cnt long, value_sum double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now_df(
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    query_name: str,
+    output_mode: str | None = None,
+) -> DataFrame:
+    """Drive a streaming transform end-to-end and return the sink as a
+    DataFrame: stage input → readStream → transform → memory sink with
+    availableNow trigger.
 
     availableNow processes the full backlog then stops — the pattern for
     incremental batch over a growing 100-TB event lake (each run picks up
@@ -106,15 +144,27 @@ def run_available_now(
         stream = spark.readStream.schema(schema).parquet(input_dir)
         out = transform(stream)
         sink_name = f"{query_name}_{uuid.uuid4().hex[:6]}"
+        mode = output_mode or ("append" if "dedup" in query_name else "complete")
         q = (
             out.writeStream.format("memory")
             .queryName(sink_name)
-            .outputMode("append" if "dedup" in query_name else "complete")
+            .outputMode(mode)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-        return spark.sql(f"SELECT * FROM {sink_name}").collect()
+        return spark.table(sink_name)
     finally:
         cleanup_stage(input_dir)
+
+
+def run_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    query_name: str,
+    output_mode: str | None = None,
+) -> list:
+    """``run_available_now_df`` + collect (test convenience)."""
+    return run_available_now_df(spark, sf_dir, transform, query_name, output_mode).collect()

@@ -42,6 +42,37 @@ def test_session_window_stream_runs(spark):
 
 
 @pytest.mark.streaming
+def test_stateful_user_totals_stream_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+    from classification_problem_with_pyspark_spark.streaming.wrappers import (
+        run_available_now,
+        stateful_user_totals_stream,
+    )
+
+    rows = run_available_now(
+        spark, SF_DIR_SMOKE, stateful_user_totals_stream, "stateful", output_mode="update"
+    )
+    # update mode emits one row per (user, micro-batch); the LAST update per
+    # user (max event_cnt — the counter is monotone) must equal batch totals.
+    last = {}
+    for r in rows:
+        if r.user_id not in last or r.event_cnt > last[r.user_id][0]:
+            last[r.user_id] = (r.event_cnt, r.value_sum)
+    batch = (
+        load(spark, SF_DIR_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("vs"))
+        .collect()
+    )
+    batch_res = {r.user_id: (r.cnt, r.vs) for r in batch}
+    assert {u: c for u, (c, _) in last.items()} == {u: c for u, (c, _) in batch_res.items()}
+    for u, (_, vs) in last.items():
+        assert abs(vs - batch_res[u][1]) < 0.05  # per-batch rounding drift only
+
+
+@pytest.mark.streaming
 def test_dedup_within_watermark_stream(spark):
     rows = run_available_now(spark, SF_DIR_SMOKE, dedup_within_watermark_stream, "dedup")
     seen = {(r.user_id, r.event_type) for r in rows}

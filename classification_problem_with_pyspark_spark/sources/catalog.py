@@ -146,3 +146,43 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     """Register temp views so every query is runnable via spark.sql too."""
     for t in tables:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
+) -> DataFrame:
+    """CSV loader — the reference's canonical entry point
+    (``spark.read.csv(..., header=True, inferSchema=True)``, SURVEY.md §2.1).
+
+    Prefer ``table=`` (pins the catalog StructType — one pass, no inference
+    drift); ``infer_schema=True`` reproduces the notebook behavior, which
+    costs an EXTRA full scan of the data to sample types — at 100 TB that
+    is the difference between one pass and two, which is why the engine's
+    own tables are schema-pinned parquet.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if table is not None:
+        reader = reader.schema(SCHEMAS[table])
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Parquet sink (SURVEY.md §2.1). ``partition_by`` produces a
+    hive-partitioned directory layout — the 100-TB write posture: readers
+    filtering on the partition column scan only matching directories
+    (static partition pruning; asserted in tests/test_sources.py)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

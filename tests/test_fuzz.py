@@ -1,0 +1,95 @@
+"""Property-based differential fuzzing (SURVEY.md §5.5): hypothesis
+generates random filter+groupBy+agg queries over lineitem; each is built
+twice — PySpark expression tree and ANSI SQL — and compared exactly through
+the same parity harness the driver uses.
+
+Aggregates are chosen for cross-engine determinism (SURVEY.md §7.5):
+count(*) is exact; sum(l_quantity) sums integral doubles (exact in IEEE
+double); min/max are order-insensitive. No order-sensitive float sums.
+Predicate literals are integers / fixed enums — no float-boundary flakes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from classification_problem_with_pyspark_spark.sources.catalog import load
+from tests.conftest import SF_DIR
+from tests.parity import compare
+
+# (column, spark builder, sql renderer) per predicate template
+_NUM_COLS = {"l_quantity": (1, 50), "l_linenumber": (1, 7)}
+_ENUMS = {"l_returnflag": ("A", "N", "R"), "l_linestatus": ("O", "F")}
+_OPS = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__", "=": "__eq__"}
+_GROUP_COLS = ("l_returnflag", "l_linestatus", "l_linenumber")
+
+
+@st.composite
+def predicates(draw):
+    kind = draw(st.sampled_from(["num", "enum", "in"]))
+    if kind == "num":
+        col = draw(st.sampled_from(sorted(_NUM_COLS)))
+        lo, hi = _NUM_COLS[col]
+        op = draw(st.sampled_from(sorted(_OPS)))
+        val = draw(st.integers(min_value=lo, max_value=hi))
+        return (getattr(F.col(col), _OPS[op])(F.lit(val)), f"{col} {op} {val}")
+    if kind == "enum":
+        col = draw(st.sampled_from(sorted(_ENUMS)))
+        val = draw(st.sampled_from(_ENUMS[col]))
+        return (F.col(col) == val, f"{col} = '{val}'")
+    col = draw(st.sampled_from(sorted(_ENUMS)))
+    vals = draw(
+        st.lists(st.sampled_from(_ENUMS[col]), min_size=1, max_size=3, unique=True)
+    )
+    in_list = ", ".join(f"'{v}'" for v in vals)
+    return (F.col(col).isin(list(vals)), f"{col} IN ({in_list})")
+
+
+@st.composite
+def fuzz_queries(draw):
+    preds = draw(st.lists(predicates(), min_size=1, max_size=3))
+    conj = draw(st.sampled_from([" AND ", " OR "]))
+    group = draw(st.sampled_from(_GROUP_COLS))
+    return preds, conj, group
+
+
+@pytest.mark.fuzz
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(q=fuzz_queries())
+def test_random_filter_agg_matches_duckdb(q, spark, oracle_con):
+    preds, conj, group = q
+    spark_pred = preds[0][0]
+    for p, _ in preds[1:]:
+        spark_pred = (spark_pred & p) if conj == " AND " else (spark_pred | p)
+    sql_pred = conj.join(f"({s})" for _, s in preds)
+
+    df = (
+        load(spark, SF_DIR, "lineitem")
+        .where(spark_pred)
+        .groupBy(group)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+    oracle = f"""
+    SELECT {group},
+           COUNT(*) AS cnt,
+           SUM(l_quantity) AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    WHERE {sql_pred}
+    GROUP BY {group}
+    """
+    ok, msg = compare("fuzz", df, oracle, oracle_con)
+    assert ok, f"{sql_pred} GROUP BY {group}: {msg}"

@@ -67,3 +67,29 @@ def test_whole_stage_codegen_on_hot_path(spark):
 def test_range_join_broadcasts_interval_side(spark):
     plan = formatted_plan(QUERIES["join_range_events"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_langid_and_quality_are_shuffle_free(spark):
+    # Per-document scoring is a pure narrow projection: one scan, zero
+    # exchanges — the shape that scales embarrassingly at 100 TB.
+    for key in ("llm_langid", "llm_quality_score"):
+        plan = formatted_plan(QUERIES[key].fn(spark, SF_DIR))
+        assert "Exchange" not in plan, f"{key} shuffles:\n{plan}"
+        assert "codegen id" in plan, plan
+
+
+def test_fingerprint_aggregates_map_side(spark):
+    # The rolling-hash groupBy must partial-aggregate before its single
+    # exchange on doc_id (map-side combine of per-token contributions).
+    plan = formatted_plan(QUERIES["llm_fingerprint"].fn(spark, SF_DIR))
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_text_scoring_reads_only_needed_columns(spark):
+    # documents has 5 columns; quality scoring touches 3 — text/source
+    # must be pruned from what the scan materializes where unused.
+    from classification_problem_with_pyspark_spark.plans.explain import read_schemas
+
+    rs = read_schemas(QUERIES["llm_lang_report"].fn(spark, SF_DIR))
+    assert "text" not in rs, rs  # the big column stays on disk

@@ -175,3 +175,34 @@ def scalar_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_val"),
         F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
     )
+
+
+@register(
+    "scalar_map_suite",
+    oracle="""
+    SELECT event_id,
+           'k,type' AS sorted_keys_csv,
+           event_type AS type_val,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           2 AS map_size
+    FROM events
+    """,
+)
+def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions (SURVEY.md §2.8): build a map column from parsed
+    event props, then take it apart again — create_map, map_keys,
+    element_at, size. Outputs are flattened to scalars because a MapType
+    column itself has no cross-engine canonical serialization to hash;
+    the DuckDB oracle derives the identical outputs from the map's known
+    construction (map semantics themselves are Spark-side tested).
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int").cast("string")
+    m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("k"), k)
+    return e.select(
+        "event_id",
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("sorted_keys_csv"),
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.size(m).alias("map_size"),
+    )

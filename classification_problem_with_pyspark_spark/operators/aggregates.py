@@ -291,3 +291,43 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_raw_spend") > 1500000)
         .drop("_raw_spend")
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS val_f
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / crosstab (the notebook EDA staple `groupBy().pivot()`):
+    order counts per priority × status, statuses spread into columns.
+
+    The pivot VALUES are pinned explicitly — without them Spark runs an
+    extra distinct-scan job to discover them, and at 100 TB that is a full
+    pass over the fact table before the real aggregation even starts.
+    The oracle is the standard conditional-aggregation rewrite, which is
+    also exactly how Spark executes a pinned pivot (one pass, partial aggs).
+    """
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("val"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F_cnt", F.lit(0)).alias("cnt_f"),
+        F.coalesce("O_cnt", F.lit(0)).alias("cnt_o"),
+        F.coalesce("P_cnt", F.lit(0)).alias("cnt_p"),
+        F.coalesce("F_val", F.lit(0.0)).alias("val_f"),
+    )

@@ -690,3 +690,21 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf_raw", 6).alias("tfidf"))
     )
+
+
+@register("llm_sample_stratified", oracle=None)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus subsampling (training-data pipeline staple):
+    per-language sampling fractions rebalance the corpus — downsample the
+    dominant language, keep the rest — via ``sampleBy``.
+
+    Seeded Bernoulli sampling is deterministic for a fixed partitioning
+    but not SQL-expressible → rows-only check; tests assert determinism
+    and per-stratum bounds. At 100 TB this is a narrow scan-side filter:
+    no shuffle, each task coin-flips its own rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
+    return d.sampleBy("lang", fractions=fractions, seed=42).select(
+        "doc_id", "lang", "source"
+    )

@@ -33,3 +33,18 @@ def test_rows_only_smoke(name, spark):
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
+
+
+def test_stratified_sample_is_deterministic_and_bounded(spark):
+    q = QUERIES["llm_sample_stratified"]
+    a = {r.doc_id for r in q.fn(spark, SF_DIR).collect()}
+    b = {r.doc_id for r in q.fn(spark, SF_DIR).collect()}
+    assert a == b  # seeded Bernoulli over a stable partitioning
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    total_en = load(spark, SF_DIR, "documents").where("lang = 'en'").count()
+    got_en = sum(
+        1 for r in q.fn(spark, SF_DIR).collect() if r.lang == "en"
+    )
+    # fraction 0.3 with generous Bernoulli slack
+    assert 0.1 * total_en < got_en < 0.55 * total_en

@@ -331,3 +331,32 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("P_cnt", F.lit(0)).alias("cnt_p"),
         F.coalesce("F_val", F.lit(0.0)).alias("val_f"),
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS price_median
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) per return flag.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` both use the
+    (n-1)·p linear-interpolation convention → exact parity after
+    round(,6). Exact percentiles need the full sorted group (one shuffle);
+    at 100 TB swap in approx_percentile (KLL/GK sketch, mergeable,
+    bounded memory) — kept as the oracle-free twin `agg_approx_distinct`
+    pattern.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_median"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("qty_p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_median"),
+    )

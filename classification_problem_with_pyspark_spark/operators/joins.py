@@ -304,3 +304,104 @@ def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "join_5way_regional_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS line_cnt
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def join_5way_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join (region→nation→customer→orders→
+    lineitem→supplier) with the local-supplier predicate, revenue by nation.
+
+    Scale posture: region/nation/supplier/customer are dims → broadcast
+    explicitly; the only shuffles left are orders⋈lineitem on orderkey and
+    the final small groupBy. Catalyst+AQE would get most of this right,
+    but pinning the broadcasts keeps the plan stable when dim stats are
+    missing. revenue is a 4-exact-decimal sum → round(,4) is
+    boundary-safe on both engines (see topk_revenue).
+    """
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
+@register(
+    "subquery_scalar_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above 2× the global average price.
+
+    Expressed as a broadcast of the 1-row aggregate crossed into the scan —
+    exactly the physical plan Catalyst builds for an uncorrelated scalar
+    subquery (one pass to aggregate, one streamed pass to filter; the fact
+    table is never shuffled). The 2× threshold keeps the comparison far
+    from any float-equality boundary between the engines' AVG orderings.
+    """
+    o = load(spark, sf_dir, "orders")
+    avg = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .where(F.col("o_totalprice") > 2 * F.col("_avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "subquery_exists_not_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def subquery_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS: customers with a finished order and
+    no open one — decorrelated into a left-semi then left-anti join, the
+    same rewrite Catalyst applies to the subquery form. Two hash joins on
+    the same key; at scale both reuse one shuffle partitioning of orders.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    finished = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        c.join(finished, c.c_custkey == finished.o_custkey, "left_semi")
+        .join(open_, c.c_custkey == open_.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )

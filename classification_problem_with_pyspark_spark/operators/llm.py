@@ -708,3 +708,43 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", fractions=fractions, seed=42).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "llm_dedup_levenshtein",
+    oracle="""
+    WITH heads AS (
+        SELECT doc_id, lang, substring(text, 1, 40) AS head FROM documents
+    )
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM heads a
+    JOIN heads b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 12
+    """,
+)
+def llm_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification (SURVEY.md §2.12): Levenshtein
+    over 40-char document prefixes, pairs blocked by lang, distance ≤ 12.
+
+    The prefix cap bounds the DP cost per pair (40×40 cells) — full-text
+    edit distance over a cross product is quadratic twice over and never
+    the 100 TB plan; the real pipeline uses this as the precise VERIFIER
+    behind MinHash/SimHash candidate generation, where pair counts are
+    already linear-ish. Integer distance → exact parity.
+    """
+    d = load(spark, sf_dir, "documents")
+    heads = d.select("doc_id", "lang", F.substring("text", 1, 40).alias("head"))
+    a = heads.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), F.col("head").alias("head_a")
+    )
+    b = heads.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("head").alias("head_b")
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        .where(F.col("edit_dist") <= 12)
+    )

@@ -405,3 +405,30 @@ def subquery_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(open_, c.c_custkey == open_.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    unique_col: str,
+    salt_n: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join (SURVEY.md §7.6 salting helper).
+
+    With a heavily skewed join key, one reducer receives most rows. Salting
+    splits each hot key into ``salt_n`` sub-keys: the large side derives a
+    deterministic salt from one of its own unique columns (never rand() —
+    task retries must re-derive identical salt), the small side is
+    replicated ``salt_n`` times, and the join runs on (key, salt). AQE's
+    skew-join split handles moderate skew automatically; this is the
+    explicit tool for the pathological case.
+
+    Result is exactly the plain inner join (asserted in tests): salting
+    only changes the partitioning, never the matched pairs.
+    """
+    salted = large.withColumn("_salt", F.pmod(F.hash(F.col(unique_col)), F.lit(salt_n)))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    return salted.join(replicated, on=[key, "_salt"], how="inner").drop("_salt")

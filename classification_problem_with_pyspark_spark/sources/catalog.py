@@ -186,3 +186,24 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 8,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Bucketed managed-table sink (SURVEY.md §7.6 co-located joins).
+
+    Bucketing pre-shuffles ONCE at write time: both sides of a recurring
+    join written with the same bucket spec join with NO exchange (and no
+    sort, if ``sort_cols`` matches) — at 100 TB this turns every
+    fact⋈fact join on the bucket key from a full network shuffle into a
+    local per-bucket merge. Asserted in tests/test_sources.py.
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

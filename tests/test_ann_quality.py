@@ -1,0 +1,57 @@
+"""ANN quality gates (SURVEY.md §2.12): the approximate similarity paths
+(IVF, LSH) are rows-only for the oracle, so THIS is where their output is
+held to a standard — structural consistency with the exact brute-force
+ground truth, plus a recall floor.
+
+Random 64-d vectors are a worst case for coarse quantization (no cluster
+structure), so the recall floor is deliberately conservative; the point is
+catching broken candidate generation (recall ~0), not tuning recall.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+from tests.conftest import SF_DIR
+
+load_all_modules()
+
+
+def _topk_map(rows, qcol, ncol):
+    out = defaultdict(list)
+    for r in rows:
+        out[r[qcol]].append(r[ncol])
+    return out
+
+
+def test_ivf_recall_and_consistency(spark):
+    truth = _topk_map(
+        QUERIES["llm_similarity_topk"].fn(spark, SF_DIR).collect(), "qid", "nid"
+    )
+    ivf_rows = QUERIES["llm_similarity_ivf"].fn(spark, SF_DIR).collect()
+    ivf = _topk_map(ivf_rows, "qid", "nid")
+
+    # structure: every query returns ≤3 ranked neighbors, none itself
+    for q, ns in ivf.items():
+        assert len(ns) <= 3
+        assert q not in ns
+
+    # recall@3 vs exact top-3 (truth holds top-5; take first 3 — rows
+    # arrive rank-ordered per the query's neighbor_rank)
+    hits = total = 0
+    for q, ns in ivf.items():
+        t3 = set(truth[q][:3])
+        hits += len(set(ns) & t3)
+        total += 3
+    recall = hits / total
+    assert recall > 0.10, f"IVF recall@3 collapsed: {recall:.3f}"
+
+
+def test_lsh_finds_close_pairs(spark):
+    lsh_rows = QUERIES["llm_similarity_lsh"].fn(spark, SF_DIR).collect()
+    assert len(lsh_rows) > 0
+    # every reported distance respects the join threshold
+    assert all(r.l2_dist <= 8.0 for r in lsh_rows)
+    # symmetric-dedup held: a < b for every pair
+    assert all(r.vec_a < r.vec_b for r in lsh_rows)

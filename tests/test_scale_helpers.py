@@ -1,0 +1,67 @@
+"""Scale-posture helpers (SURVEY.md §7.6): bucketed co-located joins elide
+the shuffle; salted joins split pathological key skew without changing
+results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from classification_problem_with_pyspark_spark.operators.joins import salted_join
+from classification_problem_with_pyspark_spark.plans.explain import formatted_plan
+from classification_problem_with_pyspark_spark.sources.catalog import load, write_bucketed
+from tests.conftest import SF_DIR_SMOKE
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    write_bucketed(
+        load(spark, SF_DIR_SMOKE, "customer"),
+        "bkt_customer",
+        ("c_custkey",),
+        num_buckets=8,
+        sort_cols=("c_custkey",),
+    )
+    write_bucketed(
+        load(spark, SF_DIR_SMOKE, "orders"),
+        "bkt_orders",
+        ("o_custkey",),
+        num_buckets=8,
+        sort_cols=("o_custkey",),
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    c = spark.table("bkt_customer")
+    o = spark.table("bkt_orders")
+    # merge hint forces SMJ so the broadcast path can't mask bucketing;
+    # matching bucket spec on both sides → zero Exchange in the plan.
+    joined = c.hint("merge").join(o, c.c_custkey == o.o_custkey)
+    plan = formatted_plan(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # and the pre-sorted buckets also satisfy the SMJ sort requirement
+    n_plain = (
+        load(spark, SF_DIR_SMOKE, "customer")
+        .join(load(spark, SF_DIR_SMOKE, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .count()
+    )
+    assert joined.count() == n_plain
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load(spark, SF_DIR_SMOKE, "lineitem")
+    # 3-value key = pathological skew
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refunded")], ["l_returnflag", "label"]
+    )
+    salted = salted_join(li, dim, "l_returnflag", unique_col="l_orderkey", salt_n=8)
+    plain = li.join(dim, "l_returnflag")
+    assert salted.count() == plain.count()
+    a = {r.l_returnflag: r.cnt for r in salted.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
+    b = {r.l_returnflag: r.cnt for r in plain.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
+    assert a == b

@@ -360,3 +360,29 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("qty_p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_median"),
     )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses_csv,
+           COUNT(DISTINCT o_orderstatus) AS status_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-list aggregation made deterministic: collect_set
+    (arrival-order-free) → sort_array → join to CSV. Raw collect_list
+    output order is partition-dependent and must NEVER be hash-compared —
+    sorting is what makes a collected aggregate testable (and at scale,
+    collect_* per group is only safe when group fan-in is bounded, as a
+    3-value status enum is).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses_csv"),
+        F.countDistinct("o_orderstatus").alias("status_cnt"),
+    )

@@ -227,3 +227,56 @@ def stream_watermark_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_resample_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS value_sum
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(hourly.cnt, 0) AS event_cnt,
+           COALESCE(hourly.value_sum, 0.0) AS value_sum,
+           (hourly.h IS NULL) AS is_gap
+    FROM spine s LEFT JOIN hourly ON s.h = hourly.h
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: a dense hourly spine
+    (sequence + explode from the observed min/max) left-joined to hourly
+    aggregates; missing hours surface as zero rows flagged is_gap — the
+    canonical prep for charting/forecasting over sparse event streams.
+
+    The spine is tiny (one row per hour) → broadcast side of the join;
+    the fact aggregation is the usual partial-agg shuffle. At 100 TB the
+    only change is the spine bounds coming from metadata, not a scan.
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("eh")).agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("value_sum")
+    )
+    return (
+        spine.join(hourly, spine.h == hourly.eh, "left")
+        .select(
+            F.date_format("h", TS_FMT).alias("hour_start"),
+            F.coalesce("cnt", F.lit(0)).alias("event_cnt"),
+            F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+            F.col("eh").isNull().alias("is_gap"),
+        )
+    )

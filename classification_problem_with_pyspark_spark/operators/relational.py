@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
@@ -158,4 +159,67 @@ def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("order_cnt"),
             F.round(F.sum("o_totalprice"), 2).alias("total_value"),
         )
+    )
+
+
+@register(
+    "relational_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_linenumber <= 2
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_linenumber <= 2
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+)
+def relational_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide measure columns to long (id, measure, val) rows
+    — the inverse of agg_pivot and the standard reshape before per-measure
+    aggregation or plotting.
+
+    Spark's native `unpivot` plans an Expand node: one scan emits k rows
+    per input row with NO join or shuffle — at 100 TB this beats the
+    UNION-of-selects formulation (which scans the fact table k times;
+    that formulation is kept as the oracle precisely because it is the
+    semantic definition).
+    """
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END AS bal_or_null,
+           ROW_NUMBER() OVER (
+               ORDER BY (CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END)
+                        DESC NULLS LAST,
+                        s_suppkey
+           ) AS pos
+    FROM supplier
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST/LAST ordering semantics made hash-observable: negative
+    balances become NULL, then rows are ranked DESC NULLS LAST with a key
+    tie-break. The driver's comparison is order-insensitive, so the sort
+    is materialized as a rank column — if either engine ordered nulls
+    differently the rank VALUES would diverge.
+    """
+    s = load(spark, sf_dir, "supplier")
+    bal = F.when(F.col("s_acctbal") < 0, None).otherwise(F.col("s_acctbal"))
+    w = Window.orderBy(bal.desc_nulls_last(), F.col("s_suppkey").asc())
+    return s.select(
+        "s_suppkey",
+        bal.alias("bal_or_null"),
+        F.row_number().over(w).alias("pos"),
     )

@@ -432,3 +432,68 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
     )
     return salted.join(replicated, on=[key, "_salt"], how="inner").drop("_salt")
+
+
+@register(
+    "join_asof_pandas",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Arrow custom-operator path (SURVEY.md §2.3 alternative):
+    the SAME semantics as join_asof_events, but via cogrouped
+    applyInPandas running pandas.merge_asof per user — the pattern for
+    operators whose per-group logic genuinely can't be expressed with
+    windows. Oracle-identical to the window formulation, proving the two
+    strategies agree to the hash.
+
+    Scale: one shuffle of each side by user_id into cogroups, Arrow-batch
+    transfer, per-group linear merge — same shuffle bill as the window
+    form plus the Python boundary, which is why the window form is the
+    default and this one is the template.
+    """
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", F.col("ts").alias("click_ts"))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "purchase_ts": [], "last_click_ts": []}
+            )
+        left = left.sort_values("ts")
+        out = pd.merge_asof(
+            left,
+            right.sort_values("click_ts"),
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = out[out["click_ts"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": left["user_id"].iloc[0],
+                "purchase_ts": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                "last_click_ts": out["click_ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            lambda left, right: merge(left, right),
+            schema="event_id long, user_id long, purchase_ts string, last_click_ts string",
+        )
+    )

@@ -280,3 +280,111 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("eh").isNull().alias("is_gap"),
         )
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ), with_click AS (
+        SELECT p.user_id, p.t_view,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts >= p.t_view
+                        THEN e.ts END) AS t_click
+        FROM per_user p JOIN events e ON e.user_id = p.user_id
+        GROUP BY p.user_id, p.t_view
+    ), with_purchase AS (
+        SELECT c.user_id, c.t_view, c.t_click,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click
+                        THEN e.ts END) AS t_purchase
+        FROM with_click c JOIN events e ON e.user_id = c.user_id
+        GROUP BY c.user_id, c.t_view, c.t_click
+    )
+    SELECT COUNT(t_view) AS viewed,
+           COUNT(t_click) AS clicked_after_view,
+           COUNT(t_purchase) AS purchased_after_click
+    FROM with_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, the first view,
+    the first click at-or-after it, the first purchase at-or-after that;
+    the report is how many users survive each stage.
+
+    Three conditional-min aggregations, each a groupBy(user_id) — and
+    because every stage groups on the SAME key, Catalyst reuses one
+    shuffle partitioning for the whole cascade (no re-shuffle between
+    stages). The final count is a single-row reduce.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    with_click = (
+        e.join(per_user, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    with_purchase = (
+        e.join(with_click, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return with_purchase.agg(
+        F.count("t_view").alias("viewed"),
+        F.count("t_click").alias("clicked_after_view"),
+        F.count("t_purchase").alias("purchased_after_click"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+           date_diff('day', f.cohort_day, a.active_day) AS day_offset,
+           COUNT(*) AS active_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen day; for each
+    (cohort, day-offset) the count of users still active — the standard
+    product-analytics retention triangle.
+
+    Two groupBys on user_id feed a join on user_id: one shuffle
+    partitioning serves all three. The output is cohort_days × offsets —
+    tiny regardless of input scale.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = e.select("user_id", F.date_trunc("day", "ts").alias("active_day")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )

@@ -206,3 +206,36 @@ def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").cast("int").alias("k_val"),
         F.size(m).alias("map_size"),
     )
+
+
+@register(
+    "scalar_hash_bitwise_suite",
+    oracle="""
+    SELECT event_id,
+           md5(event_type) AS md5_hex,
+           sha256(event_type) AS sha256_hex,
+           event_id & 255 AS low_byte,
+           event_id % 16 AS shard,
+           CAST(event_id // 4 AS BIGINT) AS rshift2,
+           event_id * 4 AS lshift2
+    FROM events
+    """,
+)
+def scalar_hash_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable hash + bitwise functions (SURVEY.md §2.8): md5/sha256 hex
+    digests (identical across engines, unlike Spark-private murmur3
+    `F.hash` / xxhash64 — the same portability rule the SimHash and
+    fingerprint operators rely on) and bit arithmetic for sharding.
+    Shifts are expressed as */ by powers of two: DuckDB 1.0 has no native
+    shift operator, and on non-negative ids the forms are identical.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.md5("event_type").alias("md5_hex"),
+        F.sha2("event_type", 256).alias("sha256_hex"),
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        (F.col("event_id") % 16).alias("shard"),
+        F.floor(F.col("event_id") / 4).cast("long").alias("rshift2"),
+        (F.col("event_id") * 4).alias("lshift2"),
+    )

@@ -748,3 +748,49 @@ def llm_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", dist.alias("edit_dist"))
         .where(F.col("edit_dist") <= 12)
     )
+
+
+@register(
+    "llm_ngram_profile",
+    oracle="""
+    WITH grams AS (
+        SELECT lang, substring(text, pos, 2) AS bigram
+        FROM (SELECT lang, text, unnest(range(1, length(text))) AS pos
+              FROM documents)
+        WHERE substring(text, pos, 2) NOT LIKE '% %'
+    ), counted AS (
+        SELECT lang, bigram, COUNT(*) AS freq FROM grams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, freq,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, bigram) AS rank
+    FROM counted
+    QUALIFY rank <= 5
+    """,
+)
+def llm_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram corpus profile: the top-5 bigrams per language —
+    the statistic a real n-gram language-ID model trains on (llm_langid
+    consumes exactly this kind of table as its static profile).
+
+    Position explode is linear in corpus characters; the groupBy key is
+    (lang, bigram) — high cardinality but bounded by alphabet², and
+    map-side partial aggregation collapses each task's counts before the
+    shuffle. Space-containing bigrams are dropped (word boundaries say
+    nothing about the language).
+    """
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("pos"),
+            "text",
+        )
+        .select("lang", F.expr("substring(text, pos, 2)").alias("bigram"))
+        .where(~F.col("bigram").contains(" "))
+    )
+    counted = grams.groupBy("lang", "bigram").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("bigram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )

@@ -179,3 +179,39 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           o_totalprice,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER w, 2) AS last_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-partition
+    frame (SURVEY.md §2.5). The UNBOUNDED...UNBOUNDED frame is spelled out
+    because last_value's DEFAULT frame ends at CURRENT ROW — the classic
+    silent-wrong-answer; both engines get the same explicit frame.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )

@@ -230,3 +230,77 @@ def ml_tune_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "reg_param double, elastic_net double, mean_auc double, is_best boolean"
     )
+
+
+@register("ml_train_multiclass", oracle=None)
+def ml_train_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine 10-class training (the other keys use the binary label):
+    multinomial LogisticRegression, OneVsRest(LinearSVC) — the standard
+    binary-to-multiclass lift — and a MultilayerPerceptron sized
+    64→32→10. One row per model with test accuracy; rows-only (seeded
+    iterative optimizers are never SQL-expressible).
+
+    Scale: every estimator here trains via repeated distributed passes
+    over a CACHED train set — the cache() is the one materialization the
+    engine's no-collect rule permits, because L-BFGS at 100 TB re-reads
+    its input dozens of times.
+    """
+    from pyspark.ml.classification import MultilayerPerceptronClassifier, OneVsRest
+
+    feats = _embedding_features(spark, sf_dir)
+    train, test = split_train_test(feats)
+    train = train.cache()
+    ev = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    )
+    models = (
+        (
+            "logreg_multinomial",
+            LogisticRegression(
+                featuresCol="features", labelCol="label", maxIter=20, regParam=0.01
+            ),
+        ),
+        (
+            "one_vs_rest_svc",
+            OneVsRest(
+                classifier=LinearSVC(maxIter=10, regParam=0.01),
+                featuresCol="features",
+                labelCol="label",
+            ),
+        ),
+        (
+            "mlp_64_32_10",
+            MultilayerPerceptronClassifier(
+                featuresCol="features",
+                labelCol="label",
+                layers=[64, 32, 10],
+                maxIter=30,
+                seed=SEED,
+            ),
+        ),
+    )
+    rows = []
+    for name, clf in models:
+        acc = ev.evaluate(clf.fit(train).transform(test))
+        rows.append((name, float(round(acc, 6))))
+    train.unpersist()
+    return spark.createDataFrame(rows, "model string, accuracy double")
+
+
+@register("ml_cluster_kmeans", oracle=None)
+def ml_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised add-on: seeded KMeans over the embeddings (the same
+    coarse quantizer llm_similarity_ivf uses, surfaced as its own key)
+    with cluster sizes and within-cluster cosine cohesion. Rows-only:
+    k-means±seed is iterative and engine-private.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    feats = _embedding_features(spark, sf_dir)
+    km = KMeans(k=8, seed=SEED, featuresCol="features", predictionCol="cluster")
+    assigned = km.fit(feats).transform(feats)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("member_cnt"))
+        .orderBy("cluster")
+    )

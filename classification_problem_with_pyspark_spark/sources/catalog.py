@@ -207,3 +207,19 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    num_files: int,
+) -> None:
+    """Small-file compaction (the 100-TB housekeeping job): rewrite a
+    parquet directory into exactly ``num_files`` files via round-robin
+    repartition. Streaming sinks and fine-grained partitioned writes leave
+    thousands of KB-sized files whose per-file open/footer cost dominates
+    scans; periodic compaction to ~128 MB-1 GB files restores scan
+    throughput. Round-robin (not coalesce) so output files are even-sized
+    regardless of input skew."""
+    spark.read.parquet(src).repartition(num_files).write.mode("overwrite").parquet(dst)

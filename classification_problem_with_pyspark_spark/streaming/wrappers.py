@@ -168,3 +168,32 @@ def run_available_now(
 ) -> list:
     """``run_available_now_df`` + collect (test convenience)."""
     return run_available_now_df(spark, sf_dir, transform, query_name, output_mode).collect()
+
+
+def stream_stream_attribution_join(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join (purchase attributed to a click by the same
+    user within the preceding hour) — both sides watermarked so the join
+    state is bounded: Spark evicts click state older than watermark +
+    range, which is THE mechanism that keeps a 100 TB/day stream join
+    from accumulating unbounded state.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), "event_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = user_id AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 1 HOUR
+            """
+        ),
+    ).select("event_id", "p_user", "purchase_ts", "click_ts")

@@ -70,3 +70,16 @@ def test_partitioned_write_prunes_on_read(spark, scratch):
     # predicate, so non-matching directories are never opened.
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan
     assert back.count() == events.where(F.col("event_type") == "click").count()
+
+
+def test_compaction_produces_exact_file_count(spark, scratch):
+    from classification_problem_with_pyspark_spark.sources.catalog import compact_parquet
+
+    src = os.path.join(scratch, "fragmented")
+    load(spark, SF_DIR_SMOKE, "events").repartition(37).write.parquet(src)
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 37
+
+    dst = os.path.join(scratch, "compacted")
+    compact_parquet(spark, src, dst, num_files=4)
+    assert len([f for f in os.listdir(dst) if f.endswith(".parquet")]) == 4
+    assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()

@@ -78,3 +78,37 @@ def test_dedup_within_watermark_stream(spark):
     seen = {(r.user_id, r.event_type) for r in rows}
     assert len(seen) == len(rows)  # no (user, type) pair emitted twice
     assert len(rows) > 0
+
+
+@pytest.mark.streaming
+def test_stream_stream_join_matches_batch_range_join(spark):
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+    from classification_problem_with_pyspark_spark.streaming.wrappers import (
+        run_available_now,
+        stream_stream_attribution_join,
+    )
+
+    rows = run_available_now(
+        spark, SF_DIR_SMOKE, stream_stream_attribution_join, "ssjoin", output_mode="append"
+    )
+    e = load(spark, SF_DIR_SMOKE, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), "event_id", F.col("ts").alias("purchase_ts")
+    )
+    batch_n = (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+    ).count()
+    # availableNow processes the whole backlog in-order: nothing is late,
+    # so the stream-stream join must equal the batch range join exactly.
+    assert len(rows) == batch_n
+    assert batch_n > 0

@@ -106,6 +106,21 @@ def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "frame_sample": [
                     a[:: max(1, len(a) // 4)][:4].astype(np.int64).tolist() for a in arrs
                 ],
+                # resize analog: resample every payload to a FIXED length
+                # (16 bucket means) the way an image resize normalizes
+                # variable dims to a model's input shape
+                "resized_16": [
+                    [
+                        round(float(c.mean()), 6)
+                        for c in np.array_split(a, 16)
+                        if len(c)
+                    ]
+                    if len(a) >= 16
+                    else [round(float(a.mean()), 6)] * 16
+                    if len(a)
+                    else [0.0] * 16
+                    for a in arrs
+                ],
             }
         )
 
@@ -121,5 +136,5 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("media_id", "payload").mapInPandas(
         _fake_decode_batches,
         schema="media_id long, byte_len int, byte_mean double, byte_max int, "
-        "frame_sample array<long>",
+        "frame_sample array<long>, resized_16 array<double>",
     )

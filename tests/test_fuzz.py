@@ -93,3 +93,53 @@ def test_random_filter_agg_matches_duckdb(q, spark, oracle_con):
     """
     ok, msg = compare("fuzz", df, oracle, oracle_con)
     assert ok, f"{sql_pred} GROUP BY {group}: {msg}"
+
+
+_JOIN_TYPES = ("inner", "left", "left_semi", "left_anti")
+
+
+@st.composite
+def join_fuzz(draw):
+    how = draw(st.sampled_from(_JOIN_TYPES))
+    status = draw(st.sampled_from(["F", "O", "P"]))
+    bal = draw(st.integers(min_value=-999, max_value=9999))
+    return how, status, bal
+
+
+@pytest.mark.fuzz
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(q=join_fuzz())
+def test_random_join_matches_duckdb(q, spark, oracle_con):
+    how, status, bal = q
+    c = load(spark, SF_DIR, "customer").where(F.col("c_acctbal") > bal)
+    o = load(spark, SF_DIR, "orders").where(F.col("o_orderstatus") == status)
+    sql_how = {"inner": "JOIN", "left": "LEFT JOIN"}.get(how)
+    if how in ("inner", "left"):
+        df = (
+            c.join(o, c.c_custkey == o.o_custkey, how)
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("order_cnt"))
+        )
+        oracle = f"""
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+        FROM (SELECT * FROM customer WHERE c_acctbal > {bal}) c
+        {sql_how} (SELECT * FROM orders WHERE o_orderstatus = '{status}') o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+        """
+    else:
+        df = c.join(o, c.c_custkey == o.o_custkey, how).select("c_custkey")
+        exists = "EXISTS" if how == "left_semi" else "NOT EXISTS"
+        oracle = f"""
+        SELECT c.c_custkey
+        FROM (SELECT * FROM customer WHERE c_acctbal > {bal}) c
+        WHERE {exists} (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = '{status}')
+        """
+    ok, msg = compare("join_fuzz", df, oracle, oracle_con)
+    assert ok, f"{how}/{status}/{bal}: {msg}"

@@ -93,3 +93,32 @@ def test_text_scoring_reads_only_needed_columns(spark):
 
     rs = read_schemas(QUERIES["llm_lang_report"].fn(spark, SF_DIR))
     assert "text" not in rs, rs  # the big column stays on disk
+
+
+def test_5way_join_broadcasts_all_dims(spark):
+    plan = formatted_plan(QUERIES["join_5way_regional_revenue"].fn(spark, SF_DIR))
+    # 4 broadcast joins (region⋈nation pre-joined, customer, supplier) and
+    # exactly ONE shuffle join pair: orders⋈lineitem on orderkey.
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    # fact partitioned by event_type; joining a FILTERED tiny dim on the
+    # partition column must inject a dynamicpruning subquery into the scan
+    # so only matching partitions are read — the mechanism that saves a
+    # 100-TB scan when the dim filter is selective.
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.sources.catalog import load, write_parquet
+
+    fact_dir = str(tmp_path / "events_part")
+    write_parquet(load(spark, SF_DIR, "events"), fact_dir, partition_by=("event_type",))
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 2.0), ("signup", 0.1), ("error", 0.0)],
+        ["event_type", "weight"],
+    ).where(F.col("weight") > 1.5)  # selective: only 'purchase' survives
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan

@@ -386,3 +386,54 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses_csv"),
         F.countDistinct("o_orderstatus").alias("status_cnt"),
     )
+
+
+@register(
+    "audit_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           COUNT(*) AS row_cnt,
+           COUNT(o_custkey) AS non_null_cnt,
+           COUNT(DISTINCT o_custkey) AS distinct_cnt,
+           ROUND(CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*), 6) AS fill_rate
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           COUNT(*),
+           COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           ROUND(CAST(COUNT(o_orderstatus) AS DOUBLE) / COUNT(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           COUNT(*),
+           COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           ROUND(CAST(COUNT(o_totalprice) AS DOUBLE) / COUNT(*), 6)
+    FROM orders
+    """,
+)
+def audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit profile (deequ-style): per column, row count,
+    non-null count, distinct count, fill rate — the pre-ingestion gate a
+    training-data pipeline runs before accepting a new drop.
+
+    One wide aggregation per column batch over a single scan; at 100 TB
+    swap COUNT(DISTINCT) for approx_count_distinct and this exact shape
+    profiles any table in one pass.
+    """
+    o = load(spark, sf_dir, "orders")
+
+    def one(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("row_cnt"),
+            F.count(col).alias("non_null_cnt"),
+            F.countDistinct(col).alias("distinct_cnt"),
+            F.round(F.count(col).cast("double") / F.count("*"), 6).alias("fill_rate"),
+        )
+
+    out = one("o_custkey")
+    for c in ("o_orderstatus", "o_totalprice"):
+        out = out.unionByName(one(c))
+    return out

@@ -112,3 +112,42 @@ def test_stream_stream_join_matches_batch_range_join(spark):
     # so the stream-stream join must equal the batch range join exactly.
     assert len(rows) == batch_n
     assert batch_n > 0
+
+
+@pytest.mark.streaming
+def test_availablenow_checkpoint_processes_only_new_files(spark, tmp_path):
+    """The incremental-batch contract: a second availableNow run over the
+    SAME checkpoint reads ONLY files added since the first run — at 100 TB
+    each scheduled run pays for the day's new data, never the lake."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    input_dir = str(tmp_path / "input")
+    checkpoint = str(tmp_path / "ckpt")
+    e = load(spark, SF_DIR_SMOKE, "events")
+    first = e.where(F.col("event_id") % 2 == 0)
+    second = e.where(F.col("event_id") % 2 == 1)
+    first.write.parquet(input_dir)
+    schema = spark.read.parquet(input_dir).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("cnt"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"inc_{_uuid.uuid4().hex[:6]}")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+    assert run_once() == first.count()
+    second.write.mode("append").parquet(input_dir)
+    # same checkpoint → only the appended files are read
+    assert run_once() == second.count()

@@ -143,3 +143,88 @@ def test_random_join_matches_duckdb(q, spark, oracle_con):
         """
     ok, msg = compare("join_fuzz", df, oracle, oracle_con)
     assert ok, f"{how}/{status}/{bal}: {msg}"
+
+
+_WIN_FUNCS = ("row_number", "rank", "dense_rank")
+_PART_COLS = ("o_orderpriority", "o_orderstatus")
+
+
+@pytest.mark.fuzz
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    func=st.sampled_from(_WIN_FUNCS),
+    part=st.sampled_from(_PART_COLS),
+    desc=st.booleans(),
+)
+def test_random_window_matches_duckdb(func, part, desc, spark, oracle_con):
+    from pyspark.sql.window import Window
+
+    # (o_orderdate, o_orderkey) is a total order -> every rank function is
+    # deterministic on both engines
+    direction = "DESC" if desc else "ASC"
+    w = Window.partitionBy(part).orderBy(
+        F.col("o_orderdate").desc() if desc else F.col("o_orderdate").asc(),
+        F.col("o_orderkey").asc(),
+    )
+    df = (
+        load(spark, SF_DIR, "orders")
+        .select(
+            "o_orderkey",
+            F.col(part).alias("part_key"),
+            getattr(F, func)().over(w).alias("pos"),
+        )
+        .where(F.col("pos") <= 3)
+    )
+    oracle = f"""
+    SELECT o_orderkey, {part} AS part_key,
+           {func}() OVER (PARTITION BY {part}
+                          ORDER BY o_orderdate {direction}, o_orderkey) AS pos
+    FROM orders
+    QUALIFY pos <= 3
+    """
+    ok, msg = compare("window_fuzz", df, oracle, oracle_con)
+    assert ok, f"{func}/{part}/{direction}: {msg}"
+
+
+_SETOPS = ("union_all", "union", "intersect", "except")
+
+
+@pytest.mark.fuzz
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    op=st.sampled_from(_SETOPS),
+    s1=st.sampled_from(["F", "O", "P"]),
+    s2=st.sampled_from(["F", "O", "P"]),
+    bal=st.integers(min_value=0, max_value=5000),
+)
+def test_random_setop_matches_duckdb(op, s1, s2, bal, spark, oracle_con):
+    o = load(spark, SF_DIR, "orders")
+    a = o.where(F.col("o_orderstatus") == s1).select("o_orderpriority", "o_orderstatus")
+    b = (
+        o.where((F.col("o_orderstatus") == s2) & (F.col("o_totalprice") > bal))
+        .select("o_orderpriority", "o_orderstatus")
+    )
+    if op == "union_all":
+        df, sql_op = a.unionByName(b), "UNION ALL"
+    elif op == "union":
+        df, sql_op = a.unionByName(b).distinct(), "UNION"
+    elif op == "intersect":
+        df, sql_op = a.intersect(b), "INTERSECT"
+    else:
+        df, sql_op = a.subtract(b), "EXCEPT"
+    oracle = f"""
+    SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderstatus = '{s1}'
+    {sql_op}
+    SELECT o_orderpriority, o_orderstatus FROM orders
+    WHERE o_orderstatus = '{s2}' AND o_totalprice > {bal}
+    """
+    ok, msg = compare("setop_fuzz", df, oracle, oracle_con)
+    assert ok, f"{op}/{s1}/{s2}/{bal}: {msg}"

@@ -794,3 +794,69 @@ def llm_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
     )
+
+
+@register(
+    "llm_pipeline_end_to_end",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               0.4 * least(length(text) / 500.0, 1.0)
+               + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')))
+               + 0.2 * (1.0 - CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                                                   x -> x IN ('data', 'row', 'query', 'the', 'of')))
+                              AS DOUBLE) / len(string_split(text, ' '))) AS q,
+               md5(lower(trim(text))) AS h
+        FROM documents
+    ), kept AS (
+        SELECT s.doc_id, s.lang FROM scored s
+        JOIN (SELECT h, MIN(doc_id) AS keeper FROM scored GROUP BY h) k
+          ON s.h = k.h AND s.doc_id = k.keeper
+        WHERE ROUND(s.q, 6) >= 0.55
+    )
+    SELECT k.lang,
+           COUNT(*) AS kept_docs,
+           COUNT(e.vec_id) AS with_embedding
+    FROM kept k LEFT JOIN embeddings e ON k.doc_id = e.vec_id
+    GROUP BY k.lang
+    """,
+)
+def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed as ONE training-data pipeline: quality
+    scoring (llm_quality_score's formula) → exact-dup removal keeping the
+    lowest doc_id (llm_dedup_exact_hash's survivorship) → embedding
+    attachment (llm_multimodal_join's key) → per-language corpus report.
+    Every stage is individually oracle-checked elsewhere; this key proves
+    the COMPOSITION is too.
+
+    Shape at scale: one narrow scoring pass, one hash-key shuffle for
+    survivorship, one broadcast join — the whole corpus is touched once.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    quality = F.round(
+        0.4 * F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        + 0.2 * (1.0 - F.size(F.array_intersect(toks, stop_arr)).cast("double") / F.size(toks)),
+        6,
+    )
+    scored = d.select(
+        "doc_id", "lang", quality.alias("q"), F.md5(F.lower(F.trim("text"))).alias("h")
+    )
+    keepers = scored.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    kept = (
+        scored.join(keepers, (scored.h == keepers.h) & (scored.doc_id == keepers.keeper))
+        .where(F.col("q") >= 0.55)
+        .select("doc_id", "lang")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        kept.join(F.broadcast(e), kept.doc_id == e.vec_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.count("vec_id").alias("with_embedding"),
+        )
+    )

@@ -87,6 +87,26 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Coverage sweep: every oracle-checked operator timed once at sf0.1
+    # (single run, not best-of-2 — this is regression visibility, not the
+    # headline metric). The quadratic pair-generation family is excluded:
+    # it is already represented by llm_similarity_topk in the headline and
+    # would add minutes for no extra signal.
+    heavy = {
+        "llm_similarity_topk",
+        "llm_dedup_ngram_jaccard",
+        "llm_dedup_levenshtein",
+        "llm_dedup_embedding_cosine",
+    }
+    coverage: dict[str, float] = {}
+    for name, q in sorted(QUERIES.items()):
+        if q.oracle is None or name in HEADLINE or name in heavy:
+            continue
+        t0 = time.time()
+        q.fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        coverage[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -98,6 +118,9 @@ def main() -> None:
                 "startup_sec": round(startup_s, 3),
                 "warmup_sec": round(warmup_s, 3),
                 "n_queries": len(timings),
+                "coverage_total_sec": round(sum(coverage.values()), 3),
+                "coverage_n_queries": len(coverage),
+                "coverage_queries": coverage,
             }
         )
     )

@@ -29,4 +29,26 @@ DataFrame; nothing collects on the driver (SURVEY.md §7.6 100-TB rules).
 
 from classification_problem_with_pyspark_spark.registry import QUERIES, get_queries, get_oracles
 
-__all__ = ["QUERIES", "get_queries", "get_oracles"]
+
+def list_queries() -> list[str]:
+    """Names of every registered operator (SURVEY.md §2 inventory)."""
+    return sorted(get_queries())
+
+
+def run_query(name: str, spark=None, sf_dir: str = "/root/testdata/sf0.01"):
+    """Library entry point: run one registered operator by name.
+
+    Builds the engine session (UTC, AQE, Arrow) if none is supplied and
+    returns the LAZY result DataFrame — callers choose the action.
+    """
+    fns = get_queries()
+    if name not in fns:
+        raise KeyError(f"unknown query {name!r}; see list_queries()")
+    if spark is None:
+        from classification_problem_with_pyspark_spark.session import get_spark
+
+        spark = get_spark()
+    return fns[name](spark, sf_dir)
+
+
+__all__ = ["QUERIES", "get_queries", "get_oracles", "list_queries", "run_query"]

@@ -437,3 +437,57 @@ def audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("o_orderstatus", "o_totalprice"):
         out = out.unionByName(one(c))
     return out
+
+
+@register("agg_hll_sketch_mergeable", oracle=None)
+def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL: per-event_type user sketches, then a MERGE of the
+    per-type sketches, proving the estimate composes without re-scanning —
+    the mergeability that makes distinct-counting 100 TB feasible
+    (pre-aggregate sketches per partition/day, union them at query time).
+
+    Estimates are deterministic for fixed input but engine-private →
+    rows-only; tests assert the merged estimate is within 2% of the exact
+    global distinct.
+    """
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count("*").alias("event_cnt"),
+    )
+    merged = per_type.agg(
+        F.lit("ALL_MERGED").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_users"),
+        F.sum("event_cnt").alias("event_cnt"),
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").alias("distinct_users"),
+            "event_cnt",
+        )
+        .unionByName(merged)
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    salt_n: int = 8,
+) -> DataFrame:
+    """Skew-mitigating two-phase aggregation (SURVEY.md §7.6): count+sum
+    grouped first by (key, salt) — spreading a hot key over ``salt_n``
+    reducers — then re-aggregated by key. Spark's map-side partial
+    aggregation already handles most skew for algebraic aggregates; this
+    explicit form is for the pathological case (or non-algebraic
+    per-group work downstream). Result is exactly groupBy(key).agg(...).
+    """
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(value_col)), F.lit(salt_n)))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count("*").alias("_cnt"), F.sum(value_col).alias("_sum")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_cnt").alias("row_cnt"),
+        F.sum("_sum").alias("value_sum"),
+    )

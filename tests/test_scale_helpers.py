@@ -65,3 +65,33 @@ def test_salted_join_matches_plain_join(spark):
     a = {r.l_returnflag: r.cnt for r in salted.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
     b = {r.l_returnflag: r.cnt for r in plain.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
     assert a == b
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from classification_problem_with_pyspark_spark.operators.aggregates import salted_aggregate
+
+    li = load(spark, SF_DIR_SMOKE, "lineitem")
+    got = {
+        r.l_returnflag: (r.row_cnt, round(r.value_sum, 2))
+        for r in salted_aggregate(li, "l_returnflag", "l_quantity").collect()
+    }
+    want = {
+        r.l_returnflag: (r.cnt, round(r.s, 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_hll_merged_estimate_near_exact(spark):
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    rows = QUERIES["agg_hll_sketch_mergeable"].fn(spark, SF_DIR_SMOKE).collect()
+    merged = [r for r in rows if r.event_type == "ALL_MERGED"][0]
+    exact = (
+        load(spark, SF_DIR_SMOKE, "events").select("user_id").distinct().count()
+    )
+    assert abs(merged.distinct_users - exact) / exact < 0.02
+    assert merged.event_cnt == load(spark, SF_DIR_SMOKE, "events").count()

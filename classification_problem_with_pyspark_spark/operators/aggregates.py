@@ -39,12 +39,20 @@ def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-           ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+               AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6)
+               AS sum_charge,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -57,20 +65,32 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Filter is pushed to the parquet scan; partial aggregation means the
     shuffle carries 6 groups regardless of input size — the canonical
     scale-proof aggregation plan.
+
+    Money math runs in DECIMAL, not double — caught by the multi-SF parity
+    test (tests/test_multi_sf.py): double sums are order-dependent and the
+    accumulated error GROWS with row count, so a query that hash-matches
+    at sf0.01 silently diverges at sf0.1+. Decimal sums of 2-dec inputs
+    are exact at any N (TPC-H itself specifies decimal); the exact sum is
+    cast back to double for a stable output schema. Averages are
+    sum/count on the exact sum — never engine-private AVG accumulation.
     """
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    disc_price = ep * (1 - disc)
+    cnt = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(ep).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + tax)).cast("double"), 6).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / cnt, 6).alias("avg_qty"),
+            F.round(F.sum(ep).cast("double") / cnt, 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / cnt, 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -310,7 +310,9 @@ def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_5way_regional_revenue",
     oracle="""
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+               AS revenue,
            COUNT(*) AS line_cnt
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -330,8 +332,9 @@ def join_5way_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly; the only shuffles left are orders⋈lineitem on orderkey and
     the final small groupBy. Catalyst+AQE would get most of this right,
     but pinning the broadcasts keeps the plan stable when dim stats are
-    missing. revenue is a 4-exact-decimal sum → round(,4) is
-    boundary-safe on both engines (see topk_revenue).
+    missing. revenue sums in DECIMAL (exact at any N) — nation-sized
+    groups make double-sum error scale past the round(,4) grid, the same
+    failure mode the multi-SF test caught on the flagship.
     """
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
@@ -347,7 +350,13 @@ def join_5way_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
             F.count("*").alias("line_cnt"),
         )
     )

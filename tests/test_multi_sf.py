@@ -1,0 +1,49 @@
+"""Scale-robustness parity (SURVEY.md §5): the driver checks sf0.01 only;
+this re-runs a representative slice of oracle keys at BOTH sf0.001 (empty/
+tiny-group edge cases) and sf0.1 (10× the checked scale) so a query that
+only works at one data size cannot hide.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+from classification_problem_with_pyspark_spark.sources.catalog import TABLES
+from tests.parity import compare
+
+load_all_modules()
+
+REPRESENTATIVE = [
+    "agg_pricing_summary",      # flagship
+    "join_5way_regional_revenue",
+    "window_topn_per_group",
+    "stream_session_30m",
+    "llm_fingerprint",
+    "llm_pipeline_end_to_end",
+    "events_resample_gapfill",
+    "setop_except",
+]
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+
+
+@pytest.fixture(scope="module", params=SFS)
+def sf_oracle(request):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{request.param}/{t}.parquet')"
+        )
+    yield request.param, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_parity_across_scale_factors(name, spark, sf_oracle):
+    sf_dir, con = sf_oracle
+    q = QUERIES[name]
+    ok, msg = compare(name, q.fn(spark, sf_dir), q.oracle, con)
+    assert ok, f"{name} @ {sf_dir}: {msg}"

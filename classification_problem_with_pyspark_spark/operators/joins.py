@@ -261,7 +261,9 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_revenue",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+               AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -280,7 +282,9 @@ def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans TakeOrderedAndProject — each partition keeps only its
     top-10, the driver merges k×partitions rows; no global sort at scale.
     Ordering ties broken by l_orderkey so the limit boundary is total and
-    deterministic on both engines.
+    deterministic on both engines. Revenue in DECIMAL — per-order groups
+    are small so double would survive here, but a ranking QUERY must
+    never rank on a value with scale-dependent error (SURVEY.md §7.5).
     """
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(
@@ -294,7 +298,13 @@ def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                4,
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",

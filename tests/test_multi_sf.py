@@ -18,6 +18,8 @@ load_all_modules()
 REPRESENTATIVE = [
     "agg_pricing_summary",      # flagship
     "join_5way_regional_revenue",
+    "topk_revenue",
+    "udaf_grouped_pandas",
     "window_topn_per_group",
     "stream_session_30m",
     "llm_fingerprint",

@@ -26,6 +26,8 @@ REPRESENTATIVE = [
     "llm_pipeline_end_to_end",
     "events_resample_gapfill",
     "setop_except",
+    "agg_describe",             # stddev_samp cross-engine at scale
+    "llm_quality_score",        # blended double formula at scale
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

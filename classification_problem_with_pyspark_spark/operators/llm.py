@@ -162,24 +162,33 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("llm_dedup_minhash", oracle=None)
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup join (the unblocked scale path): shingle →
+    """MinHash-LSH near-dup join (the unblocked scale path): token set →
     HashingTF sparse vector → MinHashLSH → approxSimilarityJoin.
 
-    Approximate by construction (SURVEY.md §7.4) → rows-only. Candidate
-    pairs come from LSH band-bucket joins — at 100 TB this is the only
-    near-dup strategy that avoids an N² comparison.
+    Approximate by construction (SURVEY.md §7.4) → rows-only, BUT held to
+    a recall gate: tests/test_ann_quality.py asserts the candidates
+    recover ≥70% of the exact token-jaccard ≥0.8 pairs. That gate caught
+    a real representation bug: hashing 3-gram SHINGLES (order-sensitive)
+    gave 0.1% recall against token-set ground truth — reordered near-dups
+    share almost no shingles. MinHash must hash the same universe the
+    target similarity is defined on: token sets for bag-of-words dedup;
+    shingles only when ORDER is part of the duplicate definition.
+
+    Candidate pairs come from LSH band-bucket joins — at 100 TB this is
+    the only near-dup strategy that avoids an N² comparison; exact
+    verification (llm_dedup_ngram_jaccard's measure) then runs on
+    candidates alone.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
     d = load(spark, sf_dir, "documents")
     pipe_input = d.select("doc_id", "text")
     tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(pipe_input)
-    grams = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(tokens)
-    grams = grams.where(F.size("shingles") > 0)
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18).transform(grams)
+    tokens = tokens.where(F.size("tokens") > 0)
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18).transform(tokens)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = lsh.fit(tf)
-    pairs = model.approxSimilarityJoin(tf, tf, threshold=0.8, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(tf, tf, threshold=0.5, distCol="jaccard_dist")
     return (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(

@@ -55,3 +55,20 @@ def test_lsh_finds_close_pairs(spark):
     assert all(r.l2_dist <= 8.0 for r in lsh_rows)
     # symmetric-dedup held: a < b for every pair
     assert all(r.vec_a < r.vec_b for r in lsh_rows)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """MinHash-LSH candidate generation must recover (nearly) all TRUE
+    near-dup pairs — the guarantee that lets the 100 TB pipeline replace
+    the exact O(N²) pair scan with LSH candidates + exact verification."""
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["llm_dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    assert len(truth) > 0
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["llm_dedup_minhash"].fn(spark, SF_DIR).collect()
+    }
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.7, f"MinHash recall collapsed: {recall:.3f} over {len(truth)} true pairs"

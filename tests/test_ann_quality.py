@@ -72,3 +72,34 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     }
     recall = len(truth & cand) / len(truth)
     assert recall >= 0.7, f"MinHash recall collapsed: {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_lsh_recall_vs_exact_l2(spark):
+    """BucketedRandomProjectionLSH candidates must recover most true
+    close pairs (exact L2 ≤ 8, computed by DuckDB) — same gate style that
+    caught the MinHash representation bug."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    truth = {
+        (a, b)
+        for a, b in con.execute(
+            """
+            SELECT a.vec_id, b.vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_distance(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) <= 8.0
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert len(truth) > 0
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["llm_similarity_lsh"].fn(spark, SF_DIR).collect()
+    }
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.7, f"LSH recall collapsed: {recall:.3f} over {len(truth)} true pairs"

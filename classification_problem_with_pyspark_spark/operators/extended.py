@@ -345,6 +345,130 @@ def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS li_cnt,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS qty_sum
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join AS a first-class query (SURVEY.md §2.3/§7.6): the
+    fact side is joined to the supplier dim through salted_join — each key
+    split over 8 salts, dim replicated 8× — then aggregated per nation.
+    The oracle is the PLAIN join's SQL: salting must change the
+    partitioning and nothing else, and here that equivalence is
+    hash-checked by the driver, not just asserted in a unit test.
+    """
+    from classification_problem_with_pyspark_spark.operators.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey", "l_quantity")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, sup, key="l_suppkey", unique_col="l_orderkey", salt_n=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count("*").alias("li_cnt"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "qty_sum"
+        ),
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))
+                    AS DOUBLE) AS svv
+        FROM q GROUP BY event_type
+    ), s AS (
+        SELECT event_type, n, sv / n AS mean_v,
+               SQRT((svv - sv * sv / n) / (n - 1)) AS std_v
+        FROM m
+    )
+    SELECT q.event_type,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE ABS((q.v - s.mean_v) / s.std_v) > 3)
+               AS outlier_cnt,
+           ROUND(MIN(s.mean_v), 6) AS mean_value,
+           ROUND(MIN(s.std_v), 6) AS std_value
+    FROM q JOIN s USING (event_type)
+    GROUP BY q.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: count values more than
+    3 sample-stddevs from the mean. The raw double `value` is quantized to
+    DECIMAL(18,6) first (binary doubles are never exact decimal midpoints,
+    so both engines round identically), moments are summed EXACTLY in
+    decimal, and mean/std/z all derive from the exact sums with the same
+    expression tree on both engines — the same determinism recipe as
+    agg_corr_covar, extended to a per-row predicate. Two passes over
+    events: a 5-group moment agg, then a broadcast join of those 5 rows
+    back onto the scan — both scale-clean.
+    """
+    e = load(spark, sf_dir, "events")
+    vq = F.col("value").cast("decimal(18,6)")
+    q = e.select("event_type", vq.cast("double").alias("v"))
+    vq2 = F.col("v").cast("decimal(18,6)")
+    m = q.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(vq2).cast("double").alias("sv"),
+        F.sum(vq2 * vq2).cast("double").alias("svv"),
+    )
+    s = m.select(
+        "event_type",
+        (F.col("sv") / F.col("n")).alias("mean_v"),
+        F.sqrt(
+            (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)
+        ).alias("std_v"),
+    )
+    z = F.abs((F.col("v") - F.col("mean_v")) / F.col("std_v"))
+    return (
+        q.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(z > 3).alias("outlier_cnt"),
+            F.round(F.min("mean_v"), 6).alias("mean_value"),
+            F.round(F.min("std_v"), 6).alias("std_value"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles_approx",
+    oracle=None,  # sketch output is estimate-valued; gated by a closeness test
+)
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the 100-TB twin of agg_percentiles: mergeable
+    Greenwald-Khanna sketch, bounded memory per group, one pass, no full
+    sort. Rows-only for the driver; tests/test_scale_helpers.py asserts
+    every estimate lands within the sketch's accuracy bound of the exact
+    percentile (relative error <= 1/accuracy = 1%).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 100)").alias("qty_median_approx"),
+        F.expr("approx_percentile(l_quantity, 0.9, 100)").alias("qty_p90_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias(
+            "price_median_approx"
+        ),
+    )
+
+
+@register(
     "llm_dedup_cluster_cc",
     oracle="""
     WITH RECURSIVE toks AS (

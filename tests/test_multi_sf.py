@@ -32,6 +32,8 @@ REPRESENTATIVE = [
     "window_ratio_to_report",   # windowed integer-sum ratio at scale
     "agg_min_max_by",           # struct tie-break vs window oracle at scale
     "llm_token_count_bpe",      # regex lexer counts at scale
+    "events_anomaly_zscore",    # decimal-quantized z-score determinism at scale
+    "join_salted_skew",         # salted join ≡ plain join at scale
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -95,3 +95,29 @@ def test_hll_merged_estimate_near_exact(spark):
     )
     assert abs(merged.distinct_users - exact) / exact < 0.02
     assert merged.event_cnt == load(spark, SF_DIR_SMOKE, "events").count()
+
+
+def test_approx_percentile_within_sketch_bound(spark):
+    """agg_percentiles_approx (rows-only for the driver) must land within
+    the GK sketch's accuracy bound of the exact percentiles."""
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+    from tests.conftest import SF_DIR
+
+    load_all_modules()
+    approx = {
+        r.l_returnflag: r
+        for r in QUERIES["agg_percentiles_approx"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.l_returnflag: r for r in QUERIES["agg_percentiles"].fn(spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        for acol, ecol in [
+            ("qty_median_approx", "qty_median"),
+            ("qty_p90_approx", "qty_p90"),
+            ("price_median_approx", "price_median"),
+        ]:
+            av, ev = getattr(a, acol), getattr(e, ecol)
+            assert abs(av - ev) / max(abs(ev), 1e-9) < 0.05, (flag, acol, av, ev)

@@ -83,3 +83,61 @@ def test_compaction_produces_exact_file_count(spark, scratch):
     compact_parquet(spark, src, dst, num_files=4)
     assert len([f for f in os.listdir(dst) if f.endswith(".parquet")]) == 4
     assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+
+
+def test_kafka_parse_transform_on_mocked_wire_schema(spark):
+    """parse_kafka_events is a pure transform: drive it with a batch
+    DataFrame carrying Kafka's exact source schema (no broker needed)."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import types as T
+
+    from classification_problem_with_pyspark_spark.sources.kafka import parse_kafka_events
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("timestampType", T.IntegerType()),
+        ]
+    )
+    payload = {
+        "event_id": 7,
+        "ts": "2024-01-02T03:04:05.000006",
+        "user_id": 42,
+        "event_type": "click",
+        "value": 1.5,
+        "props": '{"k": 3}',
+    }
+    rows = [
+        (
+            b"42",
+            json.dumps(payload).encode(),
+            "events",
+            0,
+            100,
+            dt.datetime(2024, 1, 2, 3, 4, 6),
+            0,
+        ),
+        (b"x", b"not json", "events", 1, 5, dt.datetime(2024, 1, 2), 0),
+    ]
+    out = parse_kafka_events(spark.createDataFrame(rows, wire_schema)).collect()
+    byoff = {r.kafka_offset: r for r in out}
+    good = byoff[100]
+    assert (good.event_id, good.user_id, good.event_type, good.value) == (7, 42, "click", 1.5)
+    assert good.ts == dt.datetime(2024, 1, 2, 3, 4, 5, 6)
+    assert good.props == '{"k": 3}'
+    # malformed JSON degrades to NULL fields, never a crash
+    assert byoff[5].event_id is None
+
+
+def test_kafka_reader_raises_actionable_error_without_connector(spark):
+    from classification_problem_with_pyspark_spark.sources.kafka import kafka_stream_reader
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream_reader(spark, "localhost:9092", "events")

@@ -345,6 +345,98 @@ def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers (SURVEY.md §2.4): the flags tell
+    subtotal rows apart from data rows whose key is genuinely NULL — the
+    piece agg_rollup alone can't express. Same single-pass Expand plan as
+    plain rollup.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "scalar_conditional_suite",
+    oracle="""
+    SELECT s_suppkey,
+           NULLIF(s_nationkey % 5, 0) AS nation_mod_or_null,
+           GREATEST(s_acctbal, 0.0) AS bal_floor0,
+           LEAST(s_acctbal, 1000.0) AS bal_cap1000,
+           IF(s_acctbal >= 0, 'solvent', 'debtor') AS solvency,
+           COALESCE(NULLIF(s_nationkey % 5, 0), -1) AS mod_defaulted
+    FROM supplier
+    """,
+)
+def scalar_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null scalar family standalone (SURVEY.md §2.8): nullif /
+    greatest / least / if / coalesce-with-default. Row-parallel codegen'd
+    expressions; integer and comparison outputs so parity is exact by
+    construction.
+    """
+    s = load(spark, sf_dir, "supplier")
+    mod = F.col("s_nationkey") % 5
+    return s.select(
+        "s_suppkey",
+        F.nullif(mod, F.lit(0)).alias("nation_mod_or_null"),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("s_acctbal"), F.lit(1000.0)).alias("bal_cap1000"),
+        F.when(F.col("s_acctbal") >= 0, "solvent").otherwise("debtor").alias("solvency"),
+        F.coalesce(F.nullif(mod, F.lit(0)), F.lit(-1)).alias("mod_defaulted"),
+    )
+
+
+@register(
+    "window_pct_change",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, cnt,
+           ROUND((cnt - LAG(cnt) OVER w) / LAG(cnt) OVER w, 6) AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day percent change per event type — lag composed over a
+    pre-aggregated integer series (SURVEY.md §2.5). Integer inputs make
+    the ratio deterministic; first day of each series is NULL by lag
+    semantics on both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("cnt").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round((F.col("cnt") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+@register(
     "join_salted_skew",
     oracle="""
     SELECT s_nationkey,

@@ -219,14 +219,91 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors — the exact ANN baseline
-    (SURVEY.md §2.12). Double math throughout; ranking on the ROUNDED
-    similarity with nid tie-break so the top-k boundary is deterministic
-    on both engines.
+    (SURVEY.md §2.12), Arrow/numpy formulation: mapInPandas over the probe
+    partitions, each Python worker loads the candidate matrix ONCE from the
+    parquet path (side-data pattern — no driver collect, no JVM broadcast)
+    and computes a blocked float64 matrix product per Arrow batch. Top-5 is
+    selected inside the worker on (rounded sim DESC, nid ASC), so only
+    N×5 rows ever leave Python.
 
-    O(N²) by design: this is the correctness oracle for the LSH variant
-    (llm_similarity_lsh), and legal only at bounded N. At 100 TB the
-    cross product never materializes — the LSH/IVF path generates
-    candidates instead.
+    Measured (interleaved A/B, warm, sf0.1): 0.6-1.0 s vs 2.3-2.4 s for
+    the pure-JVM HOF crossJoin form (kept as llm_similarity_topk_hof,
+    same oracle) — one fused BLAS product beats N² codegen'd
+    aggregate(zip_with) expressions. Rounding to 6 decimals absorbs the
+    summation-order difference between BLAS and the engines' sequential
+    dot loops (verified hash-identical at the gate SF).
+
+    O(N²) by design: this is the correctness oracle for the LSH/IVF
+    variants. At 100 TB the candidate side becomes a bounded shard per
+    worker (IVF cell / LSH bucket); the probe-partitioned mapInPandas
+    shape is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    k = 5
+
+    def topk_batches(batches):
+        cand = pd.read_parquet(emb_path)
+        C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+        cnorm = np.sqrt((C * C).sum(axis=1))
+        cid = cand["vec_id"].to_numpy()
+        for pdf in batches:
+            P = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            pnorm = np.sqrt((P * P).sum(axis=1))
+            qids = pdf["vec_id"].to_numpy()
+            sims = np.round((P @ C.T) / np.outer(pnorm, cnorm), 6)
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for i, qid in enumerate(qids):
+                mask = cid != qid  # exclude self-match by id, not position
+                nid_m, s_m = cid[mask], sims[i][mask]
+                idx = np.lexsort((nid_m, -s_m))[:k]
+                out_q.extend([qid] * len(idx))
+                out_n.extend(nid_m[idx])
+                out_s.extend(s_m[idx])
+                out_r.extend(range(1, len(idx) + 1))
+            yield pd.DataFrame(
+                {
+                    "qid": out_q,
+                    "nid": out_n,
+                    "cosine_sim": out_s,
+                    "neighbor_rank": out_r,
+                }
+            )
+
+    e = load(spark, sf_dir, "embeddings").repartition(32)
+    return e.mapInPandas(
+        topk_batches,
+        schema="qid long, nid long, cosine_sim double, neighbor_rank integer",
+    )
+
+
+@register(
+    "llm_similarity_topk_hof",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS qid,
+               b.vec_id AS nid,
+               ROUND(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT qid, nid, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, nid) AS neighbor_rank
+    FROM pairs
+    QUALIFY neighbor_rank <= 5
+    """,
+)
+def llm_similarity_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5, pure-JVM declarative form: broadcast
+    nested-loop cross join + higher-order-function dot product + window
+    rank. Same oracle as llm_similarity_topk — the driver hash-checks that
+    the Arrow/numpy and JVM strategies agree exactly (the asof-join
+    two-path pattern). Slower than the numpy form (2.4 s vs 0.6 s warm at
+    sf0.1) but zero Python dependency in the hot path.
     """
     e = load(spark, sf_dir, "embeddings")
     # Norms are computed ONCE per vector (narrow), not per pair — cuts the

@@ -272,7 +272,9 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    e = load(spark, sf_dir, "embeddings").repartition(32)
+    # explicit projection: without it the scan feeds every column
+    # (incl. label) through the Arrow boundary
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(32)
     return e.mapInPandas(
         topk_batches,
         schema="qid long, nid long, cosine_sim double, neighbor_rank integer",

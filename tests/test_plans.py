@@ -122,3 +122,36 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     joined = fact.join(dim, "event_type").groupBy("event_type").count()
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_limit_offset_plans_take_ordered(spark):
+    # pagination must NOT materialize a global sort: Spark folds
+    # offset+limit into one TakeOrderedAndProject (per-partition top-20).
+    plan = formatted_plan(QUERIES["sort_limit_offset"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GlobalLimit" not in plan or "TakeOrderedAndProject" in plan, plan
+
+
+def test_similarity_numpy_is_single_python_stage(spark):
+    # exactly one Arrow/Python boundary: the mapInPandas itself; selecting
+    # top-5 inside the worker means no window/exchange over the N² pairs.
+    plan = formatted_plan(QUERIES["llm_similarity_topk"].fn(spark, SF_DIR))
+    # formatted mode lists each node twice (tree line + detail block)
+    assert plan.count("MapInPandas") == 2, plan
+    assert "Window" not in plan, plan
+    # the Arrow boundary must carry only (vec_id, embedding), not label
+    assert "label" not in plan.split("MapInPandas")[1], plan
+
+
+def test_corr_covar_aggregates_map_side(spark):
+    # the five moments must partial-aggregate before the exchange: the
+    # shuffle carries 5 decimals per group, not 600k rows.
+    plan = formatted_plan(QUERIES["agg_corr_covar"].fn(spark, SF_DIR))
+    assert "partial" in plan.lower(), plan
+
+
+def test_zscore_broadcasts_moment_rows(spark):
+    # joining 5 moment rows back onto the events scan must broadcast, not
+    # shuffle the fact side.
+    plan = formatted_plan(QUERIES["events_anomaly_zscore"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -229,6 +229,26 @@ def stream_watermark_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_stream_join", oracle=None)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (SURVEY.md §2.9 last row) as a
+    first-class query: purchases attributed to same-user clicks within the
+    preceding hour, both sides watermarked 30 min so join state is evicted
+    instead of accumulating — driven readStream → availableNow → memory
+    sink. Join-state semantics are not DuckDB-expressible → rows-only;
+    equality with the batch range-join is asserted in
+    tests/test_streaming.py.
+    """
+    from classification_problem_with_pyspark_spark.streaming.wrappers import (
+        run_available_now_df,
+        stream_stream_attribution_join,
+    )
+
+    return run_available_now_df(
+        spark, sf_dir, stream_stream_attribution_join, "stream_stream_join", output_mode="append"
+    )
+
+
 @register(
     "events_resample_gapfill",
     oracle="""

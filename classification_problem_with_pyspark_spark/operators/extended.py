@@ -345,6 +345,89 @@ def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_trig_suite",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(SIN(s_acctbal / 1000.0), 6) AS sin_v,
+           ROUND(COS(s_acctbal / 1000.0), 6) AS cos_v,
+           ROUND(TAN(s_nationkey / 10.0), 6) AS tan_v,
+           ROUND(ATAN2(s_acctbal, CAST(s_suppkey AS DOUBLE)), 6) AS atan2_v,
+           ROUND(DEGREES(s_nationkey / 10.0), 6) AS deg_v,
+           ROUND(RADIANS(CAST(s_nationkey AS DOUBLE)), 6) AS rad_v,
+           ROUND(EXP(s_nationkey / 25.0), 6) AS exp_v,
+           ROUND(LN(ABS(s_acctbal) + 1.0), 6) AS ln_v
+    FROM supplier
+    """,
+)
+def scalar_trig_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/transcendental family (SURVEY.md §2.8): sin/cos/tan/
+    atan2/degrees/radians/exp/ln. Both engines delegate to correctly-
+    rounded-enough libm implementations; round(,6) absorbs any last-ulp
+    platform difference (verified empirically at 3 SFs — these are the
+    only suite functions whose bit-level identity isn't guaranteed by
+    IEEE 754 arithmetic alone).
+    """
+    s = load(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    nk = F.col("s_nationkey")
+    return s.select(
+        "s_suppkey",
+        F.round(F.sin(bal / 1000.0), 6).alias("sin_v"),
+        F.round(F.cos(bal / 1000.0), 6).alias("cos_v"),
+        F.round(F.tan(nk / 10.0), 6).alias("tan_v"),
+        F.round(F.atan2(bal, F.col("s_suppkey").cast("double")), 6).alias("atan2_v"),
+        F.round(F.degrees(nk / 10.0), 6).alias("deg_v"),
+        F.round(F.radians(nk.cast("double")), 6).alias("rad_v"),
+        F.round(F.exp(nk / 25.0), 6).alias("exp_v"),
+        F.round(F.log(F.abs(bal) + 1.0), 6).alias("ln_v"),
+    )
+
+
+@register(
+    "scalar_array_setops_suite",
+    oracle="""
+    WITH t AS (
+        SELECT d.doc_id,
+               list_distinct(string_split(d.text, ' ')) AS ta,
+               list_distinct(string_split(d2.text, ' ')) AS tb
+        FROM documents d
+        JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+    )
+    SELECT doc_id,
+           list_sort(list_intersect(ta, tb)) AS common_tokens,
+           list_sort(list_distinct(list_concat(ta, tb))) AS all_tokens,
+           list_sort(list_filter(ta, x -> NOT list_contains(tb, x)))
+               AS only_in_a,
+           len(list_intersect(ta, tb)) AS n_common
+    FROM t
+    """,
+)
+def scalar_array_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (SURVEY.md §2.8 array family): intersect /
+    union-distinct / except over adjacent documents' token sets. Every
+    array output is sorted — raw set-op order is engine-private and can
+    never be hashed (the collect_set lesson applied to arrays). DuckDB
+    lacks list_except, so the oracle spells it list_filter + NOT
+    list_contains.
+    """
+    d = load(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ta")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.array_distinct(F.split("text", " ")).alias("tb"),
+    )
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        F.array_sort(F.array_intersect("ta", "tb")).alias("common_tokens"),
+        F.array_sort(F.array_union("ta", "tb")).alias("all_tokens"),
+        F.array_sort(F.array_except("ta", "tb")).alias("only_in_a"),
+        F.size(F.array_intersect("ta", "tb")).alias("n_common"),
+    )
+
+
+@register(
     "agg_grouping_id",
     oracle="""
     SELECT o_orderstatus,

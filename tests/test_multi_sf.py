@@ -34,6 +34,8 @@ REPRESENTATIVE = [
     "llm_token_count_bpe",      # regex lexer counts at scale
     "events_anomaly_zscore",    # decimal-quantized z-score determinism at scale
     "join_salted_skew",         # salted join ≡ plain join at scale
+    "scalar_trig_suite",        # libm last-ulp risk across value domains
+    "scalar_array_setops_suite",  # array set-op ordering at scale
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -738,6 +738,78 @@ def llm_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components_star(spark: SparkSession, edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — the
+    adversarial-diameter upgrade over min-label propagation: O(log² n)
+    rounds on ANY graph shape (long chains included), vs O(diameter) for
+    propagation. Input: edges(src, dst) undirected (any orientation, dups
+    fine). Output: (node, component) with component = min node id.
+
+    Each round is two groupBy+join passes over the edge list:
+    - large-star: every node points its LARGER neighbors at its minimum
+      neighbor (incl. itself) — m = min(Γ(u) ∪ {u}).
+    - small-star: every node points its smaller-or-equal neighbors at m.
+    Edges shrink toward stars centered at component minima; convergence =
+    edge multiset stable (checked via a cheap sum-of-hashes signature, the
+    same trick as the propagation loop's label sum). localCheckpoint per
+    round bounds lineage exactly as in llm_dedup_cluster_cc.
+    """
+
+    def dedup(e: DataFrame) -> DataFrame:
+        return e.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods are UNDIRECTED: re-symmetrize before grouping —
+        # star passes emit directed edges, and computing Γ(u) over
+        # out-edges only silently freezes chains after one round
+        sym = dedup(
+            e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        )
+        # neighborhood minimum per u, u itself included
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        j = sym.join(m, "u")
+        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = j.where(cond).select(F.col("v").alias("u"), F.col("m").alias("v"))
+        keep_center = j.select("u", F.col("m").alias("v"))
+        return dedup(out.unionByName(keep_center))
+
+    # symmetrize once; nodes remembered so singletons survive the loop
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = dedup(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    ).localCheckpoint(eager=True)
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = star(e, large=True)
+        e = star(e, large=False).localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count("*").alias("c"), F.sum(F.hash("u", "v")).alias("h")
+        ).first()
+        sig = (sig.c, sig.h)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # after convergence every non-minimum node has exactly the edge (u, min)
+    labels = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.join(labels, nodes.n == labels.u, "left")
+        .select(
+            F.col("n").alias("node"),
+            F.least(F.coalesce("component", "n"), F.col("n")).alias("component"),
+        )
+    )
+
+
 def llm_dedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge list for CC clustering: lang-blocked token-set Jaccard ≥ 0.8
     (same pair semantics as llm_dedup_ngram_jaccard, keys only)."""

@@ -121,3 +121,53 @@ def test_approx_percentile_within_sketch_bound(spark):
         ]:
             av, ev = getattr(a, acol), getattr(e, ecol)
             assert abs(av - ev) / max(abs(ev), 1e-9) < 0.05, (flag, acol, av, ev)
+
+
+def test_star_connected_components_matches_union_find(spark):
+    """Property test: large-star/small-star CC equals a Python union-find
+    on seeded random graphs, including a long chain (the propagation
+    algorithm's worst case, which star handles in O(log^2 n) rounds)."""
+    import random
+
+    from classification_problem_with_pyspark_spark.operators.extended import (
+        connected_components_star,
+    )
+
+    def union_find(n_nodes, edge_list):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min node per component
+        comp_min = {}
+        for v in range(n_nodes):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        return {v: comp_min[find(v)] for v in range(n_nodes)}
+
+    rng = random.Random(42)
+    cases = [
+        [(i, i + 1) for i in range(0, 120)],                       # one long chain
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(150)],
+        [(rng.randrange(300), rng.randrange(300)) for _ in range(80)],  # many singletons
+    ]
+    for edge_list in cases:
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        n_nodes = max(max(a, b) for a, b in edge_list) + 1
+        expected = union_find(n_nodes, edge_list)
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {
+            r.node: r.component
+            for r in connected_components_star(spark, edges).collect()
+        }
+        # star CC only sees nodes that appear in edges
+        touched = {a for e in edge_list for a in e}
+        assert got == {v: c for v, c in expected.items() if v in touched}

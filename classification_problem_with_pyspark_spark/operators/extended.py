@@ -484,6 +484,35 @@ def scalar_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_heatmap",
+    oracle="""
+    SELECT dayofweek(ts) AS dow,
+           hour(ts) AS hr,
+           event_type,
+           COUNT(*) AS cnt,
+           COUNT(DISTINCT user_id) AS unique_users
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic heatmap: day-of-week × hour × type counts — the classic ops
+    dashboard matrix. Cross-engine calendar trap: Spark's dayofweek is
+    1=Sunday, DuckDB's is 0=Sunday, so the Spark side subtracts 1 to align.
+    Counts only (no float sums) → exact parity; single partial-agg pass.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("unique_users"),
+    )
+
+
+@register(
     "window_pct_change",
     oracle="""
     WITH daily AS (

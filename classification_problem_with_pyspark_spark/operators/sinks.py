@@ -1,0 +1,114 @@
+"""Source/sink roundtrip operators (SURVEY.md §2.1).
+
+The reference's loader surface is CSV-with-header (`spark.read.csv(...,
+header=True, inferSchema=True)` — SURVEY.md §1.1 [PK]); our engine pins an
+explicit schema on read-back instead of inferSchema so the oracle's schema
+check can't be surprised by inference drift (§1.3).
+
+The partitioned-parquet sink is the 100-TB write posture (SURVEY.md §7.6
+"windowed/partitioned writes"): data is laid out by a low-cardinality
+predicate column so downstream readers prune whole directories instead of
+scanning and filtering — asserted as PartitionFilters in
+tests/test_plans.py.
+
+Both keys perform the write eagerly when the query function is invoked
+(deterministic path under /root/repo/.tmp, mode=overwrite, so re-runs are
+idempotent) and return the LAZY read-back plan; the oracle runs the same
+aggregation against the original table, proving the roundtrip is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import SCHEMAS, load
+
+_TMP = "/root/repo/.tmp"
+
+
+def _roundtrip_dir(kind: str, sf_dir: str) -> str:
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_TMP, f"{kind}_{sf_name}")
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_nations,
+           MIN(n_name) AS first_nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source roundtrip: write `nation` as header CSV, read it back
+    with the catalog's EXPLICIT StructType (never inferSchema — §1.3),
+    then join `region` (broadcast dim) and aggregate. The oracle runs the
+    same query on the original parquet, so a hash match proves the CSV
+    encode/decode is lossless for every column type it carries.
+
+    Scale note: CSV is the interchange path, not the analytics path —
+    reads are row-oriented with no pushdown/pruning, so the engine keeps
+    CSV at the edges (tiny dims, ingestion) and converts to parquet
+    before fact-scale work.
+    """
+    nation = load(spark, sf_dir, "nation")
+    path = _roundtrip_dir("csv_nation", sf_dir)
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(SCHEMAS["nation"]).option("header", True).csv(path)
+    region = load(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + pruned read-back: write `events`
+    partitioned by event_type (5 directories), read back with an
+    event_type predicate — the scan touches ONE partition directory
+    (PartitionFilters, asserted in tests/test_plans.py) — and aggregate
+    daily purchase totals. Oracle = the same aggregation on the original
+    table: a hash match proves the partitioned layout is lossless.
+
+    This is the 100-TB write discipline (SURVEY.md §7.6): lay facts out
+    by the dominant filter column so readers prune directories for free;
+    partition count stays bounded (low-cardinality column), so no
+    small-file explosion.
+    """
+    e = load(spark, sf_dir, "events")
+    path = _roundtrip_dir("events_by_type", sf_dir)
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )

@@ -36,6 +36,12 @@ REPRESENTATIVE = [
     "join_salted_skew",         # salted join ≡ plain join at scale
     "scalar_trig_suite",        # libm last-ulp risk across value domains
     "scalar_array_setops_suite",  # array set-op ordering at scale
+    "filter_scan_agg_revenue",  # Q6 exact decimal product sum at scale
+    "subquery_in_agg_having",   # HAVING boundary determinism at scale
+    "agg_skew_kurtosis_moments",  # Σx⁴ decimal headroom at scale
+    "scalar_hof_suite",         # float->double HOF folds across domains
+    "llm_minhash_signatures",   # md5 min-hash portability at scale
+    "sink_partitioned_roundtrip",  # partitioned write/read losslessness
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

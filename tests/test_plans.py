@@ -155,3 +155,73 @@ def test_zscore_broadcasts_moment_rows(spark):
     # shuffle the fact side.
     plan = formatted_plan(QUERIES["events_anomaly_zscore"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q6_scan_is_fully_pushed_and_pruned(spark):
+    # TPC-H Q6 shape: the date range and quantity bound must reach the
+    # parquet scan, and only the 4 referenced columns may be read — at
+    # 100 TB this is the difference between a row-group-pruned scan and a
+    # full-table read.
+    df = QUERIES["filter_scan_agg_revenue"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf and "l_quantity" in pf, pf
+    rs = read_schemas(df)
+    assert "l_orderkey" not in rs and "l_partkey" not in rs, rs
+
+
+def test_promo_and_disjunctive_joins_broadcast_part(spark):
+    # part is the dimension side in both Q14- and Q19-shaped joins; the
+    # fact side must never shuffle for the join.
+    for key in ("join_promo_share", "filter_disjunctive_join"):
+        plan = formatted_plan(QUERIES[key].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, f"{key}:\n{plan}"
+        assert "SortMergeJoin" not in plan, f"{key} shuffles the fact:\n{plan}"
+
+
+def test_global_share_broadcasts_total_row(spark):
+    # the 1-row global total must broadcast back onto the per-supplier
+    # rollup (Q11 shape) — no second fact scan, no shuffle of the rollup.
+    plan = formatted_plan(QUERIES["agg_having_global_share"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q18_inner_having_semi_joins(spark):
+    # the IN-subquery over the HAVING aggregate must become a semi join
+    # (tiny surviving key set), never a full join + distinct.
+    plan = formatted_plan(QUERIES["subquery_in_agg_having"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_sink_partitioned_read_prunes(spark):
+    # reading the event_type-partitioned sink with an event_type predicate
+    # must prune at the directory level: the scan's partition filters name
+    # the column, and the data filters do NOT re-apply it.
+    df = QUERIES["sink_partitioned_roundtrip"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+
+
+def test_hof_suite_is_shuffle_free_jvm_path(spark):
+    # per-row array lambdas must stay inside the JVM (no Python boundary,
+    # no exchange): one narrow projection over the embeddings scan.
+    plan = formatted_plan(QUERIES["scalar_hof_suite"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_minhash_aggregates_map_side(spark):
+    # the 4 signature mins must partial-aggregate before the doc_id
+    # shuffle: 4 longs per doc cross the wire, not every exploded token.
+    plan = formatted_plan(QUERIES["llm_minhash_signatures"].fn(spark, SF_DIR))
+    assert "partial_min" in plan, plan
+
+
+def test_locf_window_partitions_by_user(spark):
+    # the LOCF fill must partition by user_id — a global single-partition
+    # window over 100 TB of events would serialize on one task.
+    plan = formatted_plan(QUERIES["window_locf_fill"].fn(spark, SF_DIR))
+    assert "hashpartitioning(user_id" in plan, plan

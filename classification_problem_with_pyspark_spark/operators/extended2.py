@@ -739,3 +739,235 @@ def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id").agg(
         *[F.min(_minhash_term_hash(s)).alias(f"sig{s}") for s in range(4)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Second batch: Q7/Q2 shapes, EWMA filter, banded MinHash LSH
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_nation_flow",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS volume,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — a 6-table chain where the interesting predicate is a
+    DISJUNCTION across two different join paths (supplier-nation vs
+    customer-nation).
+
+    supplier/nation/customer are dims -> broadcast; lineitem⋈orders is
+    the single fact-fact shuffle (same key discipline as
+    join_5way_regional_revenue). The nation filter reaches both nation
+    scans, so each broadcast side carries 1 row before the OR is
+    evaluated post-join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    net = F.col("l_extendedprice").cast(_D) * (F.lit(1) - F.col("l_discount").cast(_D))
+    j = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu.select("c_custkey", "c_nationkey")), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.sum(net).cast("double").alias("volume"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "join_back_min_per_group",
+    oracle="""
+    SELECT p.p_type, p.p_partkey, p.p_name, m.min_price
+    FROM part p
+    JOIN (
+        SELECT p_type, MIN(p_retailprice) AS min_price
+        FROM part GROUP BY p_type
+    ) m ON p.p_type = m.p_type AND p.p_retailprice = m.min_price
+    """,
+)
+def join_back_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: find each group's minimum, then join back on
+    aggregate equality to recover the full rows that achieve it (ALL
+    ties, unlike a rank-1 window which needs a tie-break).
+
+    The per-type min table is group-count-sized -> broadcast back onto
+    the part scan; the fact side never shuffles. MIN of a double is
+    order-insensitive (unlike SUM), so raw doubles are safe here and the
+    equality join compares identical parquet bit patterns on both
+    engines.
+    """
+    p = load(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_type").alias("m_type")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_type == mins.m_type) & (p.p_retailprice == mins.min_price),
+        )
+        .select("p_type", "p_partkey", "p_name", "min_price")
+    )
+
+
+@register(
+    "window_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, cnt,
+           (1.0    * cnt
+            + 0.5    * COALESCE(lag(cnt, 1) OVER w, 0)
+            + 0.25   * COALESCE(lag(cnt, 2) OVER w, 0)
+            + 0.125  * COALESCE(lag(cnt, 3) OVER w, 0)
+            + 0.0625 * COALESCE(lag(cnt, 4) OVER w, 0))
+           / (1.0
+              + CASE WHEN lag(cnt, 1) OVER w IS NULL THEN 0 ELSE 0.5 END
+              + CASE WHEN lag(cnt, 2) OVER w IS NULL THEN 0 ELSE 0.25 END
+              + CASE WHEN lag(cnt, 3) OVER w IS NULL THEN 0 ELSE 0.125 END
+              + CASE WHEN lag(cnt, 4) OVER w IS NULL THEN 0 ELSE 0.0625 END)
+               AS ewma5
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.5, 5-tap truncated
+    kernel) of daily event counts — the finite-impulse form of EWMA whose
+    weights renormalize at the series head where lags are missing.
+
+    The infinite-recurrence EWMA is order-dependent float accumulation
+    (unhashable across engines); truncating to 5 taps makes it a CLOSED
+    FORM over lag(), and every term is exact in binary floating point
+    (integer counts x powers of 0.5), so no rounding is needed at any
+    scale. Window runs over the pre-aggregated daily series.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    weights = [1.0, 0.5, 0.25, 0.125, 0.0625]
+    num = F.lit(1.0) * F.col("cnt")
+    den = F.lit(1.0)
+    for i, wt in enumerate(weights[1:], start=1):
+        lagged = F.lag("cnt", i).over(w)
+        num = num + F.lit(wt) * F.coalesce(lagged, F.lit(0))
+        den = den + F.when(lagged.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return daily.select("event_type", "day", "cnt", (num / den).alias("ewma5"))
+
+
+@register(
+    "llm_dedup_minhash_banded",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t.term, t.pos FROM documents,
+          LATERAL (SELECT unnest(string_split(text, ' ')) AS term,
+                          generate_subscripts(string_split(text, ' '), 1) AS pos) t
+    ), sh AS (
+        SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), sig AS (
+        SELECT doc_id,
+           MIN(CAST(('0x' || substr(md5('0_' || shingle), 1, 15)) AS BIGINT)) AS s0,
+           MIN(CAST(('0x' || substr(md5('1_' || shingle), 1, 15)) AS BIGINT)) AS s1,
+           MIN(CAST(('0x' || substr(md5('2_' || shingle), 1, 15)) AS BIGINT)) AS s2,
+           MIN(CAST(('0x' || substr(md5('3_' || shingle), 1, 15)) AS BIGINT)) AS s3
+        FROM sh GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.s2 = b.s2 AND a.s3 = b.s3 AND a.doc_id < b.doc_id
+    ) pairs
+    """,
+)
+def llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidate pairs, fully deterministic and
+    ORACLE-CHECKED: 3-token shingles -> 4 portable md5 min-hashes per doc
+    -> 2 bands of 2 rows -> docs sharing a band bucket become candidate
+    pairs. This is the real LSH shape (candidates from bucket
+    EQUI-JOINS, never an all-pairs product) with none of MLlib's private
+    randomness.
+
+    Scale: the signature agg is map-side partial (4 longs/doc); each band
+    join is an equi-join on the band key, so cost follows bucket sizes —
+    on adversarial data you'd cap/salt hot buckets, here 3-shingles over
+    the corpus vocabulary keep buckets tiny (measured: 27 pairs at
+    sf0.01, 469 at sf0.1 — vs 80k/7.7M with unigram shingles, which
+    saturate the sketch). Assumes every doc has >= 3 tokens (FIXTURES.md:
+    min is 10).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+        ),
+    )
+    sh = docs.select("doc_id", F.explode(shingles).alias("term"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(_minhash_term_hash(s)).alias(f"s{s}") for s in range(4)]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    band0 = a.join(
+        b,
+        (F.col("a.s0") == F.col("b.s0"))
+        & (F.col("a.s1") == F.col("b.s1"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    band1 = a.join(
+        b,
+        (F.col("a.s2") == F.col("b.s2"))
+        & (F.col("a.s3") == F.col("b.s3"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return band0.unionByName(band1).distinct()

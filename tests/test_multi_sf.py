@@ -42,6 +42,8 @@ REPRESENTATIVE = [
     "scalar_hof_suite",         # float->double HOF folds across domains
     "llm_minhash_signatures",   # md5 min-hash portability at scale
     "sink_partitioned_roundtrip",  # partitioned write/read losslessness
+    "window_ewma",              # exact-FP closed-form EWMA at scale
+    "llm_dedup_minhash_banded",  # band bucket sizes across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -225,3 +225,26 @@ def test_locf_window_partitions_by_user(spark):
     # window over 100 TB of events would serialize on one task.
     plan = formatted_plan(QUERIES["window_locf_fill"].fn(spark, SF_DIR))
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_nation_flow_single_fact_shuffle(spark):
+    # Q7 shape: supplier/customer/nation broadcast; at most one
+    # fact-to-fact shuffle join (lineitem⋈orders on orderkey).
+    plan = formatted_plan(QUERIES["join_nation_flow"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_minhash_banding_never_cross_joins(spark):
+    # LSH's whole point: candidates come from band-bucket EQUI-joins, so
+    # the plan must not contain a nested-loop or cartesian product.
+    plan = formatted_plan(QUERIES["llm_dedup_minhash_banded"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_min_per_group_broadcasts_back(spark):
+    # Q2 shape: the per-type min table is group-count-sized and must
+    # broadcast back onto the part scan, not shuffle it.
+    plan = formatted_plan(QUERIES["join_back_min_per_group"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan

@@ -971,3 +971,181 @@ def llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     return band0.unionByName(band1).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Third batch: training-data pipeline ops (packing, chunking) + OHLC bars
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_doc_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id,
+           CAST(cum_tokens - n_tokens
+                - CAST(FLOOR((cum_tokens - n_tokens) / 512) AS BIGINT) * 512
+                AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def llm_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training-data prep (SURVEY.md §2.12):
+    assign each document to a fixed-budget (512-token) pack by its
+    cumulative token offset within its language stream — the standard
+    'concat then split every N tokens' pretraining layout, where a doc
+    belongs to the pack its FIRST token lands in.
+
+    All-integer arithmetic over a per-lang running sum -> exactly
+    hashable. Scale: the window partitions by lang and orders by doc_id;
+    at 100 TB you'd sub-partition the stream (e.g. lang × shard of 1M
+    docs) so no single partition serializes — same expression, finer key.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    pack = F.floor(start / 512).cast("long")
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        pack.alias("pack_id"),
+        (start - pack * 512).cast("long").alias("pack_offset"),
+    )
+
+
+@register(
+    "llm_chunking",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks, n,
+               list_sort(list_distinct(list_append(
+                   generate_series(0, greatest(n - 32, 0), 24),
+                   greatest(n - 32, 0)))) AS starts
+        FROM t
+    ), e AS (
+        SELECT doc_id, toks, n,
+               unnest(starts) AS chunk_start,
+               generate_subscripts(starts, 1) - 1 AS chunk_idx
+        FROM s
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           len(toks[chunk_start + 1 : chunk_start + 32]) AS n_chunk_tokens,
+           array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
+               AS chunk_text
+    FROM e
+    """,
+)
+def llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (SURVEY.md §2.12): split each
+    document into 32-token windows with stride 24 (8-token overlap), plus
+    a tail-aligned final window so no token is dropped — the standard
+    prep for embedding/RAG indexing.
+
+    Pure narrow projection: sequence/transform/posexplode inside codegen,
+    no shuffle, no Python — scales embarrassingly. Chunk grids are
+    deterministic on both engines (verified list semantics: Spark
+    slice(a, s+1, 32) ≡ DuckDB a[s+1 : s+32]).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    last_start = F.greatest(n - 32, F.lit(0))
+    starts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.sequence(F.lit(0), last_start, F.lit(24)),
+                F.array(last_start),
+            )
+        )
+    )
+    t = docs.select("doc_id", toks.alias("toks"), starts.alias("starts"))
+    e = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode("starts").alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.slice("toks", F.col("chunk_start") + 1, 32)
+    return e.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM events
+    )
+    SELECT event_type, day,
+           MIN(CASE WHEN rn_first = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MIN(CASE WHEN rn_last = 1 THEN value END) AS close_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM ordered
+    GROUP BY event_type, day
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (open/high/low/close + volume) per event type per day —
+    the canonical time-series downsampling shape (SURVEY.md §2.4
+    arg-extreme family applied to time order).
+
+    open/close are arg-extremes by (ts, event_id) — min_by/max_by with a
+    STRUCT tie-break for determinism under timestamp collisions, exactly
+    the agg_min_max_by recipe. One map-side-partial shuffle per
+    (type, day); volume in exact decimal. The DuckDB oracle spells the
+    arg-extremes as rank-1 windows (its arg_min lacks struct keys).
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return (
+        e.groupBy("event_type", day)
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+            F.count("*").alias("n_events"),
+        )
+    )

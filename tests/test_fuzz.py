@@ -228,3 +228,104 @@ def test_random_setop_matches_duckdb(op, s1, s2, bal, spark, oracle_con):
     """
     ok, msg = compare("setop_fuzz", df, oracle, oracle_con)
     assert ok, f"{op}/{s1}/{s2}/{bal}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Surface 5: scalar expression trees (string / integer / conditional)
+# ---------------------------------------------------------------------------
+# Random depth-2 compositions of scalar functions rendered BOTH as a Spark
+# Column and as DuckDB SQL. Functions restricted to exactly-portable ones:
+# string ops (no collation/locale), integer arithmetic (no float rounding),
+# CASE WHEN. The query groups by the expression and counts, so any
+# divergence in any row changes the hash.
+
+
+@st.composite
+def str_exprs(draw, depth=0):
+    base = draw(st.sampled_from(["o_orderpriority", "o_orderstatus"]))
+    col, sql = F.col(base), base
+    n_wraps = draw(st.integers(min_value=1, max_value=2 if depth == 0 else 1))
+    for _ in range(n_wraps):
+        fn = draw(
+            st.sampled_from(
+                ["upper", "lower", "substr", "concat", "reverse", "lpad", "replace"]
+            )
+        )
+        if fn == "upper":
+            col, sql = F.upper(col), f"upper({sql})"
+        elif fn == "lower":
+            col, sql = F.lower(col), f"lower({sql})"
+        elif fn == "substr":
+            k = draw(st.integers(min_value=1, max_value=4))
+            col, sql = F.substring(col, 1, k), f"substr({sql}, 1, {k})"
+        elif fn == "concat":
+            lit = draw(st.sampled_from(["_x", "#", "ab"]))
+            col, sql = F.concat(col, F.lit(lit)), f"concat({sql}, '{lit}')"
+        elif fn == "reverse":
+            col, sql = F.reverse(col), f"reverse({sql})"
+        elif fn == "lpad":
+            n = draw(st.integers(min_value=3, max_value=12))
+            col, sql = F.lpad(col, n, "*"), f"lpad({sql}, {n}, '*')"
+        else:
+            a, b = draw(st.sampled_from([("-", "+"), ("URGENT", "U"), ("O", "0")]))
+            col, sql = F.replace(col, F.lit(a), F.lit(b)), f"replace({sql}, '{a}', '{b}')"
+    return col, sql
+
+
+@st.composite
+def int_exprs(draw):
+    base = draw(st.sampled_from(["o_orderkey", "o_custkey"]))
+    col, sql = F.col(base), base
+    fn = draw(st.sampled_from(["mod", "plus", "times", "abs_minus", "greatest"]))
+    k = draw(st.integers(min_value=1, max_value=97))
+    if fn == "mod":
+        col, sql = col % k, f"{sql} % {k}"
+    elif fn == "plus":
+        col, sql = col + k, f"{sql} + {k}"
+    elif fn == "times":
+        col, sql = col * k, f"{sql} * {k}"
+    elif fn == "abs_minus":
+        col, sql = F.abs(col - k), f"abs({sql} - {k})"
+    else:
+        col, sql = F.greatest(col % 100, F.lit(k)), f"greatest({sql} % 100, {k})"
+    return col, sql
+
+
+@st.composite
+def cond_exprs(draw):
+    thresh = draw(st.integers(min_value=1000, max_value=400000))
+    a, b = draw(st.sampled_from([("hi", "lo"), ("big", "small"), ("1", "0")]))
+    col = F.when(F.col("o_totalprice") > thresh, a).otherwise(b)
+    sql = f"CASE WHEN o_totalprice > {thresh} THEN '{a}' ELSE '{b}' END"
+    return col, sql
+
+
+@pytest.mark.fuzz
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(s=str_exprs(), i=int_exprs(), c=cond_exprs())
+def test_random_scalar_exprs_match_duckdb(s, i, c, spark, oracle_con):
+    (s_col, s_sql), (i_col, i_sql), (c_col, c_sql) = s, i, c
+    df = (
+        load(spark, SF_DIR, "orders")
+        .select(
+            s_col.alias("e_str"),
+            i_col.cast("long").alias("e_int"),
+            c_col.alias("e_cond"),
+        )
+        .groupBy("e_str", "e_int", "e_cond")
+        .agg(F.count("*").alias("cnt"))
+    )
+    oracle = f"""
+    SELECT {s_sql} AS e_str,
+           CAST({i_sql} AS BIGINT) AS e_int,
+           {c_sql} AS e_cond,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY 1, 2, 3
+    """
+    ok, msg = compare("scalar_fuzz", df, oracle, oracle_con)
+    assert ok, f"{s_sql} | {i_sql} | {c_sql}: {msg}"

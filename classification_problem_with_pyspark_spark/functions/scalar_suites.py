@@ -239,3 +239,45 @@ def scalar_hash_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("event_id") / 4).cast("long").alias("rshift2"),
         (F.col("event_id") * 4).alias("lshift2"),
     )
+
+
+@register(
+    "scalar_datetime_suite2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS order_doy,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS order_week_iso,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d')
+               AS plus_3_months,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS days_since_1995
+    FROM orders
+    """,
+)
+def scalar_datetime_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second datetime family (SURVEY.md §2.8): quarter, day-of-year, ISO
+    week, month-end, month arithmetic (add_months clamps to month end on
+    both engines — Jan 31 + 3 → Apr 30), ISO-Monday week truncation, and
+    day deltas. All calendar integer logic — exactly portable, no
+    rounding anywhere.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofyear("o_orderdate").alias("order_doy"),
+        F.weekofyear("o_orderdate").alias("order_week_iso"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+            "plus_3_months"
+        ),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_1995"
+        ),
+    )

@@ -304,3 +304,72 @@ def ml_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("member_cnt"))
         .orderBy("cluster")
     )
+
+
+@register("ml_feature_extras", oracle=None)
+def ml_feature_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality-reduction + selection + scaling stage pack
+    (SURVEY.md §2.11): PCA (64d → 8d), MinMaxScaler, and
+    UnivariateFeatureSelector (ANOVA F-test, top 16 features) chained in
+    one Pipeline over the embeddings fixture — the feature-engineering
+    steps a classification notebook reaches for beyond the basic
+    indexer/assembler set.
+
+    Rows-only: PCA bases have sign/rotation freedom, so outputs are
+    checked for shape + seeded determinism in tests/test_ml.py, never
+    hashed. Scale: all three transforms are narrow per-row maps after a
+    single fit-time pass (PCA covariance + selector stats are
+    tree-aggregated JVM-side, no Python boundary).
+    """
+    from pyspark.ml.feature import PCA, MinMaxScaler, UnivariateFeatureSelector
+
+    base = _embedding_features(spark, sf_dir)
+    pca = PCA(k=8, inputCol="features", outputCol="pca_features")
+    scaler = MinMaxScaler(inputCol="pca_features", outputCol="scaled_features")
+    selector = (
+        UnivariateFeatureSelector(
+            featuresCol="features",
+            labelCol="label",
+            outputCol="selected_features",
+            selectionMode="numTopFeatures",
+        )
+        .setFeatureType("continuous")
+        .setLabelType("categorical")
+        .setSelectionThreshold(16)
+    )
+    model = Pipeline(stages=[pca, scaler, selector]).fit(base)
+    out = model.transform(base)
+    from pyspark.ml.functions import vector_to_array
+
+    return out.select(
+        "vec_id",
+        "label",
+        F.size(vector_to_array("pca_features")).alias("pca_dim"),
+        F.size(vector_to_array("scaled_features")).alias("scaled_dim"),
+        F.size(vector_to_array("selected_features")).alias("selected_dim"),
+        F.round(F.element_at(vector_to_array("scaled_features"), 1), 6).alias(
+            "scaled_first"
+        ),
+    )
+
+
+@register("ml_train_fm", oracle=None)
+def ml_train_fm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Factorization-machine classifier (SURVEY.md §2.11) on the binary
+    label — the remaining pyspark.ml.classification family member after
+    LR / trees / NB / SVC / MLP / OvR, completing the classifier
+    inventory. Rows-only: iterative AdamW fit; seeded for our own
+    determinism tests.
+    """
+    from pyspark.ml.classification import FMClassifier
+
+    base = _embedding_features(spark, sf_dir)
+    train, test = base.randomSplit([0.8, 0.2], seed=SEED)
+    fm = FMClassifier(
+        featuresCol="features", labelCol="label_bin", maxIter=5, seed=SEED
+    )
+    model = fm.fit(train)
+    pred = model.transform(test)
+    return pred.groupBy("label_bin", F.col("prediction").cast("int").alias("pred")).agg(
+        F.count("*").alias("n_rows")
+    )

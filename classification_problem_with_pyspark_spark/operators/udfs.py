@@ -133,3 +133,58 @@ def udf_row_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = F.udf(lambda brand, size: f"{brand[:5].upper()}:{size}", "string")
     p = load(spark, sf_dir, "part")
     return p.select("p_partkey", tag("p_brand", "p_size").alias("brand_tag"))
+
+
+@register(
+    "udtf_python_lateral",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), e AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, n - 1, 10)) AS seg_start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(FLOOR(seg_start / 10.0) AS INTEGER) AS segment_idx,
+           CAST(len(toks[seg_start + 1 : seg_start + 10]) AS INTEGER)
+               AS n_seg_tokens,
+           array_to_string(toks[seg_start + 1 : seg_start + 10], ' ')
+               AS segment_text
+    FROM e
+    """,
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+ `@udtf`) applied as
+    a correlated LATERAL join: each document expands into 10-token
+    segments, one output row per segment (SURVEY.md §2.10). This is the
+    remaining UDF-family member after scalar pandas / grouped-agg /
+    grouped-map / legacy row UDFs — and, because the segmentation is
+    deterministic integer logic, it is ORACLE-CHECKED, not rows-only.
+
+    Scale: a UDTF is row-at-a-time Python (the slow path — SURVEY.md
+    §7.6); it belongs on corpus-sized tables only when the built-in
+    explode/sequence form (see llm_chunking, the fast twin of this
+    operator) cannot express the expansion. Declared here to cover the
+    API surface; the engine's guidance is llm_chunking for production.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="segment_idx int, n_seg_tokens int, segment_text string")
+    class SegmentDoc:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 10):
+                chunk = toks[i : i + 10]
+                yield (i // 10, len(chunk), " ".join(chunk))
+
+    spark.udtf.register("segment_doc", SegmentDoc)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("udtf_documents_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.segment_idx, s.n_seg_tokens, s.segment_text
+        FROM udtf_documents_v d, LATERAL segment_doc(d.text) s
+        """
+    )

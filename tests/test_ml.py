@@ -71,3 +71,23 @@ def test_model_persist_load_roundtrip(spark):
         assert sorted(map(tuple, orig)) == sorted(map(tuple, redo))
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_feature_extras_dims_and_determinism(spark):
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+
+    df = QUERIES["ml_feature_extras"].fn(spark, SF_DIR)
+    rows = {r.vec_id: r for r in df.collect()}
+    assert all(r.pca_dim == 8 and r.scaled_dim == 8 and r.selected_dim == 16 for r in rows.values())
+    again = {r.vec_id: r for r in QUERIES["ml_feature_extras"].fn(spark, SF_DIR).collect()}
+    assert {k: v.scaled_first for k, v in rows.items()} == {
+        k: v.scaled_first for k, v in again.items()
+    }
+
+
+def test_fm_confusion_is_seeded_deterministic(spark):
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+
+    a = sorted(map(tuple, QUERIES["ml_train_fm"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, QUERIES["ml_train_fm"].fn(spark, SF_DIR).collect()))
+    assert a == b and sum(r[2] for r in a) > 0

@@ -806,3 +806,126 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").alias("min_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data quality: referential-integrity audit across the star schema
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS orphan_rows,
+           COUNT(*) AS total_rows
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           COUNT(*) FILTER (WHERE c_custkey IS NULL), COUNT(*)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem->part',
+           COUNT(*) FILTER (WHERE p_partkey IS NULL), COUNT(*)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           COUNT(*) FILTER (WHERE s_suppkey IS NULL), COUNT(*)
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    UNION ALL
+    SELECT 'customer->nation',
+           COUNT(*) FILTER (WHERE n_nationkey IS NULL), COUNT(*)
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit over the star schema: for each FK edge,
+    how many child rows have no parent (the deequ-style ingestion gate a
+    training pipeline runs before trusting joins).
+
+    Each edge with a broadcast-sized parent (customer/part/supplier/
+    nation) is a broadcast left join — the fact never shuffles; the one
+    fact-fact edge (lineitem->orders) shuffles on its natural key. Counts
+    are exact integers; the output is 5 rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+
+    def edge(child, ckey, parent, pkey, name, bcast=True):
+        par = parent.select(pkey)
+        if bcast:
+            par = F.broadcast(par)
+        joined = child.select(ckey).join(
+            par, F.col(ckey) == F.col(pkey), "left"
+        )
+        return joined.agg(
+            F.lit(name).alias("relation"),
+            F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0)).alias("orphan_rows"),
+            F.count("*").alias("total_rows"),
+        )
+
+    return (
+        edge(li, "l_orderkey", o, "o_orderkey", "lineitem->orders", bcast=False)
+        .unionByName(edge(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(edge(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionByName(edge(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
+        .unionByName(edge(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: longest consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, COUNT(*) AS streak_len
+        FROM runs GROUP BY user_id, anchor
+    ),
+    longest AS (
+        SELECT user_id, MAX(streak_len) AS longest_streak
+        FROM streaks GROUP BY user_id
+    )
+    SELECT longest_streak, COUNT(*) AS n_users
+    FROM longest
+    GROUP BY longest_streak
+    """,
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as a
+    (streak_length, n_users) distribution — the gaps-and-islands idiom
+    (date minus row_number anchors each run).
+
+    The window partitions per user over DISTINCT active days (≤30 rows
+    per user here; bounded by calendar days at any scale), and every
+    subsequent aggregate shrinks the data. Integer-only outputs.
+    """
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = runs.groupBy("user_id", "anchor").agg(F.count("*").alias("streak_len"))
+    longest = streaks.groupBy("user_id").agg(F.max("streak_len").alias("longest_streak"))
+    return longest.groupBy("longest_streak").agg(F.count("*").alias("n_users"))

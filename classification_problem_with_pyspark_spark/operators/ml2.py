@@ -1,0 +1,300 @@
+"""MLlib surface extension (SURVEY.md §2.11): clustering variants, topic
+modeling, recommendation, text feature pipelines, tabular regression, and
+discretization — completing the `pyspark.ml` families a notebook-genre
+reference reaches for beyond plain classification.
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. Everything here is the public
+`pyspark.ml` API over the driver's testdata fixtures.
+
+Trained-model outputs can never hash-match a SQL oracle (SURVEY.md §7.4),
+so ml_* keys here are rows-only EXCEPT `ml_feature_bucketizer`, whose
+explicit-splits bucketing is a pure CASE expression and therefore
+oracle-checked. Determinism (fixed seeds, stable schemas) is asserted in
+tests/test_ml.py.
+
+Scale posture: estimators iterate over cached inputs (SURVEY.md §3 EP3);
+all feature transforms are narrow; outputs are small aggregates (per-topic,
+per-cluster, per-bucket), never per-row model dumps.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.clustering import LDA, BisectingKMeans, GaussianMixture
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import (
+    IDF,
+    PCA,
+    Bucketizer,
+    CountVectorizer,
+    QuantileDiscretizer,
+    RegexTokenizer,
+    VectorAssembler,
+    Word2Vec,
+)
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.ml.recommendation import ALS
+from pyspark.ml.regression import GeneralizedLinearRegression, LinearRegression
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+SEED = 42
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+
+
+@register("ml_cluster_variants", oracle=None)
+def ml_cluster_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BisectingKMeans and GaussianMixture over the 64-d embeddings:
+    per-(algorithm, cluster) sizes from seeded fits (k=5 each).
+
+    Rows-only: cluster assignments depend on float iteration. Output is
+    the 10-row (algo, cluster, n) table — stable shape, seeded content.
+    GMM runs on a PCA-8 projection: estimating full 64x64 covariances
+    from a few hundred rows is numerically degenerate (breeze raises
+    MatrixNotSymmetric), and at scale per-component covariance cost is
+    O(d^2) — reduce dimensionality first.
+    """
+    df = _features(spark, sf_dir).cache()
+    bkm = BisectingKMeans(k=5, seed=SEED, featuresCol="features").fit(df)
+    pca8 = PCA(k=8, inputCol="features", outputCol="pca8").fit(df).transform(df)
+    gmm = GaussianMixture(k=5, seed=SEED, featuresCol="pca8").fit(pca8)
+    a = (
+        bkm.transform(df)
+        .groupBy(F.lit("bisecting_kmeans").alias("algo"), F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n"))
+    )
+    b = (
+        gmm.transform(pca8)
+        .groupBy(F.lit("gaussian_mixture").alias("algo"), F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n"))
+    )
+    return a.unionByName(b)
+
+
+@register("ml_topics_lda", oracle=None)
+def ml_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA topic model over documents: CountVectorizer vocabulary → 5
+    topics → top-5 terms per topic resolved back to token strings.
+
+    Rows-only (variational inference is float-iterative); the output is
+    exactly 5 topics × 5 ranked terms. At scale LDA's online optimizer
+    streams mini-batches — corpus size bounds memory via vocabSize.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = RegexTokenizer(inputCol="text", outputCol="tokens", pattern="\\s+")
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=200, minDF=2)
+    toks = tok.transform(d)
+    cv_model = cv.fit(toks)
+    corpus = cv_model.transform(toks).select("doc_id", F.col("tf").alias("features"))
+    lda = LDA(k=5, seed=SEED, maxIter=10, optimizer="online")
+    model = lda.fit(corpus)
+    vocab = cv_model.vocabulary
+    topics = model.describeTopics(5).select(
+        "topic", F.posexplode("termIndices").alias("rank", "term_idx")
+    )
+    vocab_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)], "term_idx int, term string"
+    )
+    return topics.join(F.broadcast(vocab_df), "term_idx").select(
+        "topic", "rank", "term"
+    )
+
+
+@register("ml_recommend_als", oracle=None)
+def ml_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS implicit-feedback recommender on the events stream: per-user
+    event-type interaction counts as ratings, top-2 recommendations per
+    user, reported as per-(event_type, rank) recommendation counts.
+
+    Rows-only (factorization is float-iterative). The item vocabulary is
+    the 5 event types, indexed by a deterministic sorted mapping (not
+    StringIndexer's frequency order, which can tie-break unstably).
+    recommendForAllUsers is a broadcast of the tiny item factor matrix.
+    """
+    e = load(spark, sf_dir, "events")
+    items = (
+        e.select("event_type")
+        .distinct()
+        .orderBy("event_type")
+        .withColumn("item_id", F.row_number().over(Window.orderBy("event_type")) - 1)
+    )
+    ratings = (
+        e.join(F.broadcast(items), "event_type")
+        .groupBy(F.col("user_id").cast("int").alias("user"), F.col("item_id").alias("item"))
+        .agg(F.count("*").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=4,
+        maxIter=5,
+        seed=SEED,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = (
+        model.recommendForAllUsers(2)
+        .select("user", F.posexplode("recommendations").alias("rank", "rec"))
+        .select("user", "rank", F.col("rec.item").alias("item"))
+    )
+    return (
+        recs.join(F.broadcast(items), recs.item == items.item_id)
+        .groupBy("event_type", "rank")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register("ml_text_features", oracle=None)
+def ml_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text feature pipeline: RegexTokenizer → CountVectorizer → IDF →
+    Word2Vec, reported as per-lang averaged feature norms.
+
+    Rows-only (IDF weights and Word2Vec vectors are float-trained). The
+    whole pipeline is the notebook-canonical text featurization; output
+    is 5 rows (one per lang) with doc counts and mean TF-IDF/W2V norms.
+    """
+    d = load(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="tokens", pattern="\\s+"),
+            CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=200, minDF=2),
+            IDF(inputCol="tf", outputCol="tfidf"),
+            Word2Vec(
+                inputCol="tokens", outputCol="w2v", vectorSize=16, seed=SEED, minCount=2
+            ),
+        ]
+    )
+    out = pipe.fit(d).transform(d)
+    tfidf_norm = F.sqrt(
+        F.aggregate(
+            vector_to_array("tfidf"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    w2v_norm = F.sqrt(
+        F.aggregate(vector_to_array("w2v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(tfidf_norm), 4).alias("avg_tfidf_norm"),
+        F.round(F.avg(w2v_norm), 4).alias("avg_w2v_norm"),
+    )
+
+
+@register("ml_train_regression", oracle=None)
+def ml_train_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular regression on lineitem: predict l_extendedprice from
+    (quantity, discount, tax) with LinearRegression and a Gaussian GLM;
+    report per-model RMSE/R² on a seeded 80/20 split.
+
+    Rows-only (fitted coefficients are float-iterative). This is the
+    notebook's regression twin of the classification flow: assemble →
+    split → fit → evaluate. Output: 2 rows (model, rmse, r2, n_test).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", F.col("l_extendedprice").alias("y")
+    )
+    assembled = VectorAssembler(
+        inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
+    ).transform(li)
+    train, test = assembled.randomSplit([0.8, 0.2], seed=SEED)
+    train = train.cache()
+    rows = []
+    models = {
+        "linear_regression": LinearRegression(featuresCol="features", labelCol="y"),
+        "glm_gaussian": GeneralizedLinearRegression(
+            family="gaussian", link="identity", featuresCol="features", labelCol="y"
+        ),
+    }
+    rmse_eval = RegressionEvaluator(labelCol="y", metricName="rmse")
+    r2_eval = RegressionEvaluator(labelCol="y", metricName="r2")
+    n_test = test.count()
+    for name, est in models.items():
+        pred = est.fit(train).transform(test)
+        rows.append(
+            (name, round(rmse_eval.evaluate(pred), 4), round(r2_eval.evaluate(pred), 4), n_test)
+        )
+    return spark.createDataFrame(
+        rows, "model string, rmse double, r2 double, n_test long"
+    )
+
+
+@register(
+    "ml_feature_bucketizer",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 0
+                WHEN c_acctbal < 2500 THEN 1
+                WHEN c_acctbal < 5000 THEN 2
+                WHEN c_acctbal < 7500 THEN 3
+                ELSE 4 END AS bucket,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def ml_feature_bucketizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib Bucketizer with explicit splits on customer balance,
+    flattened to per-bucket counts and bounds.
+
+    Explicit-splits bucketing is a pure CASE expression, so unlike the
+    rest of the ml_* family this IS oracle-checked: Bucketizer's
+    [lo, hi) intervals map 1:1 to the CASE WHEN chain. The transform is
+    narrow (no shuffle until the 5-row aggregate).
+    """
+    c = load(spark, sf_dir, "customer")
+    buck = Bucketizer(
+        splits=[float("-inf"), 0.0, 2500.0, 5000.0, 7500.0, float("inf")],
+        inputCol="c_acctbal",
+        outputCol="bucket_d",
+    )
+    return (
+        buck.transform(c)
+        .groupBy(F.col("bucket_d").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+        )
+    )
+
+
+@register("ml_feature_discretize", oracle=None)
+def ml_feature_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuantileDiscretizer (4 buckets, approx quantile boundaries) on
+    order totals: per-bucket counts and value ranges.
+
+    Rows-only: boundaries come from approxQuantile (relativeError-bound
+    sketch), which is the 100-TB-correct choice — an exact global sort
+    for quartile edges would be a full shuffle; the sketch is one pass
+    and mergeable. Bucket populations are approximately equal by design.
+    """
+    o = load(spark, sf_dir, "orders")
+    qd = QuantileDiscretizer(
+        numBuckets=4, inputCol="o_totalprice", outputCol="bucket_d", relativeError=0.001
+    )
+    return (
+        qd.fit(o)
+        .transform(o)
+        .groupBy(F.col("bucket_d").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )

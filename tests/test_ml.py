@@ -91,3 +91,64 @@ def test_fm_confusion_is_seeded_deterministic(spark):
     a = sorted(map(tuple, QUERIES["ml_train_fm"].fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, QUERIES["ml_train_fm"].fn(spark, SF_DIR).collect()))
     assert a == b and sum(r[2] for r in a) > 0
+
+
+def test_cluster_variants_cover_both_algos(spark):
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+
+    rows = QUERIES["ml_cluster_variants"].fn(spark, SF_DIR).collect()
+    by_algo = {}
+    for r in rows:
+        by_algo.setdefault(r.algo, 0)
+        by_algo[r.algo] += r.n
+    # every input row is assigned exactly once per algorithm
+    assert set(by_algo) == {"bisecting_kmeans", "gaussian_mixture"}
+    assert len(set(by_algo.values())) == 1
+
+
+def test_lda_topics_shape(spark):
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+
+    rows = QUERIES["ml_topics_lda"].fn(spark, SF_DIR).collect()
+    assert {r.topic for r in rows} == set(range(5))
+    assert all(0 <= r.rank < 5 for r in rows)
+    assert all(isinstance(r.term, str) and r.term for r in rows)
+
+
+def test_als_recommendations_deterministic(spark):
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+
+    a = sorted(map(tuple, QUERIES["ml_recommend_als"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, QUERIES["ml_recommend_als"].fn(spark, SF_DIR).collect()))
+    assert a == b
+    # every user gets exactly one rank-0 and one rank-1 recommendation
+    n_by_rank = {}
+    for etype, rank, n in a:
+        n_by_rank[rank] = n_by_rank.get(rank, 0) + n
+    assert n_by_rank[0] == n_by_rank[1]
+
+
+def test_regression_metrics_sane(spark):
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+
+    rows = {r.model: r for r in QUERIES["ml_train_regression"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"linear_regression", "glm_gaussian"}
+    for r in rows.values():
+        assert r.rmse > 0 and r.n_test > 0
+        assert -1.0 <= r.r2 <= 1.0
+    # identical model family fitted two ways -> nearly identical metrics
+    assert abs(rows["linear_regression"].rmse - rows["glm_gaussian"].rmse) < 1.0
+
+
+def test_quantile_discretizer_buckets_roughly_equal(spark):
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+
+    rows = QUERIES["ml_feature_discretize"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    total = sum(r.n_orders for r in rows)
+    for r in rows:
+        assert 0.15 * total < r.n_orders < 0.35 * total
+    # bucket value ranges must not overlap
+    by_bucket = sorted(rows, key=lambda r: r.bucket)
+    for lo, hi in zip(by_bucket, by_bucket[1:]):
+        assert lo.max_price <= hi.min_price

@@ -915,9 +915,9 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sig AS (
         SELECT doc_id,
            MIN(CAST(('0x' || substr(md5('0_' || shingle), 1, 15)) AS BIGINT)) AS s0,
-           MIN(CAST(('0x' || substr(md5('1_' || shingle), 1, 15)) AS BIGINT)) AS s1,
-           MIN(CAST(('0x' || substr(md5('2_' || shingle), 1, 15)) AS BIGINT)) AS s2,
-           MIN(CAST(('0x' || substr(md5('3_' || shingle), 1, 15)) AS BIGINT)) AS s3
+           MIN(CAST(('0x' || substr(md5('0_' || shingle), 16, 15)) AS BIGINT)) AS s1,
+           MIN(CAST(('0x' || substr(md5('1_' || shingle), 1, 15)) AS BIGINT)) AS s2,
+           MIN(CAST(('0x' || substr(md5('1_' || shingle), 16, 15)) AS BIGINT)) AS s3
         FROM sh GROUP BY doc_id
     )
     SELECT doc_a, doc_b FROM (
@@ -937,15 +937,21 @@ def llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI-JOINS, never an all-pairs product) with none of MLlib's private
     randomness.
 
-    Scale: the signature agg is map-side partial (4 longs/doc); each band
-    join is an equi-join on the band key, so cost follows bucket sizes —
-    on adversarial data you'd cap/salt hot buckets, here 3-shingles over
-    the corpus vocabulary keep buckets tiny (measured: 27 pairs at
-    sf0.01, 469 at sf0.1 — vs 80k/7.7M with unigram shingles, which
-    saturate the sketch). Assumes every doc has >= 3 tokens (FIXTURES.md:
-    min is 10).
+    Scale: the signature agg is map-side partial (4 longs/doc); the band
+    join is ONE equi-join on (band, h1, h2) over band-exploded signature
+    rows (both sides share the partitioning, so Spark reuses the
+    exchange), and cost follows bucket sizes — on adversarial data you'd
+    cap/salt hot buckets, here 3-shingles over the corpus vocabulary keep
+    buckets tiny (measured: 27 pairs at sf0.01, 469 at sf0.1 — vs
+    80k/7.7M with unigram shingles, which saturate the sketch). Each md5
+    yields TWO independent 60-bit hashes (hex chars 1-15 and 16-30), so
+    the dominant md5 cost is half of a hash-per-row scheme; the explicit
+    repartition spreads the shingle+md5 map work across all cores even
+    when the input is one small file (a 100-TB input is already
+    many-partition, so the repartition is a no-op there by count).
+    Assumes every doc has >= 3 tokens (FIXTURES.md: min is 10).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(32, "doc_id")
     toks = F.split("text", " ")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
@@ -954,23 +960,56 @@ def llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sh = docs.select("doc_id", F.explode(shingles).alias("term"))
+
+    def md5_slice(seed: int, start: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(str(seed)), F.col("term"))), start, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
     sig = sh.groupBy("doc_id").agg(
-        *[F.min(_minhash_term_hash(s)).alias(f"s{s}") for s in range(4)]
+        F.min(md5_slice(0, 1)).alias("s0"),
+        F.min(md5_slice(0, 16)).alias("s1"),
+        F.min(md5_slice(1, 1)).alias("s2"),
+        F.min(md5_slice(1, 16)).alias("s3"),
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    band0 = a.join(
-        b,
-        (F.col("a.s0") == F.col("b.s0"))
-        & (F.col("a.s1") == F.col("b.s1"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    band1 = a.join(
-        b,
-        (F.col("a.s2") == F.col("b.s2"))
-        & (F.col("a.s3") == F.col("b.s3"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    return band0.unionByName(band1).distinct()
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("s0").alias("h1"),
+                    F.col("s1").alias("h2"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("s2").alias("h1"),
+                    F.col("s3").alias("h2"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.h1", "bk.h2")
+    # shuffle_hash (not broadcast): both sides are the same fact-sized
+    # signature pipeline; a broadcast would serialize the whole pipeline
+    # into the build side AND compute it twice (measured 3.5 s vs 0.97 s
+    # at sf0.1), while the shuffle join lets AQE reuse one exchange —
+    # and at 100 TB the signature side could never broadcast anyway.
+    a, b = banded.alias("a"), banded.alias("b").hint("shuffle_hash")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,233 @@
+"""Round-1 extension pack #4: additional source formats (JSONL, ORC
+roundtrips) and lakehouse maintenance patterns (SCD2 dimension history,
+incremental aggregate merge).
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. All patterns here are public
+knowledge (Spark source APIs, the SCD Type 2 idiom, incremental view
+maintenance) over the driver's testdata schema.
+
+Scale posture (SURVEY.md §7.5-7.6):
+- roundtrip writes are eager, deterministic-path, mode=overwrite
+  (idempotent re-runs), read-back plans lazy — same discipline as
+  operators/sinks.py;
+- JSONL/CSV are edge-interchange formats only: row-oriented, no pushdown
+  — the engine converts to parquet/ORC before fact-scale work;
+- SCD2 windows partition per user (bounded state); the incremental-merge
+  pattern is the 100-TB daily-refresh posture: re-aggregate ONLY the new
+  partition and merge 5-row summaries, never rescan history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import SCHEMAS, load
+
+_TMP = "/root/repo/.tmp"
+_D = "decimal(18,2)"
+TS_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _roundtrip_dir(kind: str, sf_dir: str) -> str:
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_TMP, f"{kind}_{sf_name}")
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source roundtrip: write `documents` as JSONL, read it
+    back with the catalog's EXPLICIT StructType (never schema inference —
+    SURVEY.md §1.3), aggregate per (lang, source). Oracle = the same
+    aggregation on the original parquet: a hash match proves the JSON
+    encode/decode is lossless for int64/string columns.
+
+    Scale note: JSONL is the ingestion-edge format (crawl dumps, API
+    exports) — no pushdown, row-oriented, ~4x parquet size. The engine
+    reads it once with a pinned schema and lands parquet for real work.
+    """
+    d = load(spark, sf_dir, "documents")
+    path = _roundtrip_dir("jsonl_documents", sf_dir)
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(SCHEMAS["documents"]).json(path)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source roundtrip: write `orders` as ORC, read it back, and
+    aggregate per status with exact decimal money sums and date bounds.
+    Oracle = the same aggregation on the original parquet: a hash match
+    proves the ORC path preserves int64/double/string/timestamp exactly.
+
+    Scale note: ORC is the second columnar citizen (predicate pushdown,
+    column pruning, stripe statistics all apply) — kept at full fidelity
+    as an alternative lake format; unlike CSV/JSONL it IS fact-scale
+    safe.
+    """
+    o = load(spark, sf_dir, "orders")
+    path = _roundtrip_dir("orc_orders", sf_dir)
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_D)).cast("double").alias("total_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+    )
+
+
+@register(
+    "scd2_user_type_history",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts
+        FROM seq
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
+           COALESCE(strftime(LEAD(ts) OVER w2, '%Y-%m-%d %H:%M:%S.%f'),
+                    '9999-12-31 00:00:00.000000') AS effective_to,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history built from the events stream: each
+    user's event_type run-changes become versioned validity intervals
+    [effective_from, effective_to), open intervals closed with a
+    9999-12-31 sentinel — the lakehouse slowly-changing-dimension build.
+
+    Two per-user windows: LAG marks change points (run-length compress),
+    LEAD closes each interval with the next change's timestamp. State is
+    bounded per user and the change-point filter shrinks data BEFORE the
+    second window. Timestamps leave as µs-formatted strings on both
+    engines; version is a per-user ordinal.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", TS_US).alias("effective_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w2), TS_US),
+            F.lit("9999-12-31 00:00:00.000000"),
+        ).alias("effective_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
+@register(
+    "merge_incremental_agg",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events WHERE ts < TIMESTAMP '2024-01-20'
+        GROUP BY event_type
+    ),
+    delta AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+        GROUP BY event_type
+    )
+    SELECT COALESCE(base.event_type, delta.event_type) AS event_type,
+           COALESCE(base.n, 0) + COALESCE(delta.n, 0) AS n_total,
+           CAST(COALESCE(base.v, CAST(0 AS DECIMAL(18,2)))
+                + COALESCE(delta.v, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+               AS value_total,
+           base.event_type IS NOT NULL AS in_base,
+           delta.event_type IS NOT NULL AS in_delta
+    FROM base FULL OUTER JOIN delta ON base.event_type = delta.event_type
+    """,
+)
+def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a historical summary (events
+    before a cutoff) merged with a fresh-partition delta summary via
+    FULL OUTER + COALESCE — the daily-refresh pattern that avoids
+    rescanning history.
+
+    Both inputs are pre-reduced to ≤5 rows BEFORE the merge join, so the
+    expensive work is two partition-pruned scans and the merge is
+    broadcast-trivial; at 100 TB only the delta partition is ever
+    re-aggregated (count/sum are algebraic, so partials compose).
+    tests/test_scale_helpers.py asserts merged == full recompute.
+    """
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def summarize(df: DataFrame, n_name: str, v_name: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias(n_name),
+            F.sum(F.col("value").cast(_D)).alias(v_name),
+        )
+
+    base = summarize(e.where(F.col("ts") < cutoff), "bn", "bv").withColumnRenamed(
+        "event_type", "b_type"
+    )
+    delta = summarize(e.where(F.col("ts") >= cutoff), "dn", "dv").withColumnRenamed(
+        "event_type", "d_type"
+    )
+    zero = F.lit(0).cast(_D)
+    merged = base.join(delta, base.b_type == delta.d_type, "full_outer")
+    return merged.select(
+        F.coalesce("b_type", "d_type").alias("event_type"),
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_total"),
+        (F.coalesce("bv", zero) + F.coalesce("dv", zero)).cast("double").alias(
+            "value_total"
+        ),
+        F.col("b_type").isNotNull().alias("in_base"),
+        F.col("d_type").isNotNull().alias("in_delta"),
+    )

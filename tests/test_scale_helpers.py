@@ -171,3 +171,29 @@ def test_star_connected_components_matches_union_find(spark):
         # star CC only sees nodes that appear in edges
         touched = {a for e in edge_list for a in e}
         assert got == {v: c for v, c in expected.items() if v in touched}
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """merge_incremental_agg's base+delta composition must equal one
+    aggregation over the whole table (algebraic-aggregate property)."""
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+    from tests.conftest import SF_DIR
+
+    merged = {
+        r.event_type: (r.n_total, r.value_total)
+        for r in QUERIES["merge_incremental_agg"].fn(spark, SF_DIR).collect()
+    }
+    full = {
+        r.event_type: (r.n, r.v)
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+        )
+        .collect()
+    }
+    assert merged == full

@@ -132,32 +132,33 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-private. All math is integer → exact parity. Linear in tokens;
     the O(N²) step (Hamming neighbor search) happens downstream on the
     16-bit fingerprint space, not on documents.
+
+    Plan shape: the per-bit majority vote is 16 conditional sums in ONE
+    groupBy(doc_id) — not a crossJoin with a 16-row bit table, which
+    multiplies the exploded token stream 16× and adds a second shuffle
+    (measured 3.5 s → 0.6 s at sf0.1). The explicit repartition spreads
+    the explode+md5 map work across cores when the input is one small
+    file; at 100 TB the scan is already many-partition and the
+    bit-vote shuffle carries 16 ints per doc either way.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
     th = tok.select(
         "doc_id", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long").alias("h")
     )
-    bits = F.broadcast(spark.range(16).select(F.col("id").cast("int").alias("b")))
-    p = F.pow(F.lit(2.0), F.col("b")).cast("long")
-    votes = (
-        th.crossJoin(bits)
-        .select(
-            "doc_id",
-            "b",
-            F.when((F.col("h") / p).cast("long") % 2 == 1, 1).otherwise(-1).alias("vote"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
+    votes = th.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(0)
-            ).alias("simhash")
-        )
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
     )
+    simhash = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 @register("llm_dedup_minhash", oracle=None)
@@ -888,9 +889,11 @@ def llm_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, bigram) — high cardinality but bounded by alphabet², and
     map-side partial aggregation collapses each task's counts before the
     shuffle. Space-containing bigrams are dropped (word boundaries say
-    nothing about the language).
+    nothing about the language). The explicit repartition spreads the
+    position-explode across cores when the input is one small file (a
+    100-TB scan is already many-partition).
     """
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
     grams = (
         d.select(
             "lang",

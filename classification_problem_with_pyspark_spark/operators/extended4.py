@@ -231,3 +231,82 @@ def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_type").isNotNull().alias("in_base"),
         F.col("d_type").isNotNull().alias("in_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: Shannon entropy of the event mix per day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_entropy_daily_mix",
+    oracle="""
+    WITH day_counts AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT day, SUM(c) AS n FROM day_counts GROUP BY day)
+    SELECT strftime(t.day, '%Y-%m-%d') AS day,
+           t.n AS n_events,
+           ROUND(-SUM((CAST(c AS DOUBLE) / t.n)
+                      * log2(CAST(c AS DOUBLE) / t.n)), 6) AS entropy_bits
+    FROM day_counts d JOIN tot t ON d.day = t.day
+    GROUP BY t.day, t.n
+    """,
+)
+def agg_entropy_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of the event-type mix per day — the
+    diversity statistic behind drift monitors and balanced-sampling
+    checks in training pipelines.
+
+    Both engines derive p = c/n from the SAME exact integer counts and
+    sum ≤5 float terms per day; round(,6) absorbs last-ulp ordering.
+    The heavy aggregation is the integer (day, type) count — map-side
+    partial, bounded keys; the entropy pass runs over ~150 tiny rows.
+    """
+    e = load(spark, sf_dir, "events")
+    day_counts = (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    tot = day_counts.groupBy("day").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        day_counts.join(tot, "day")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"), F.col("n").alias("n_events"))
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate frequent items (heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+@register("agg_freq_items", oracle=None)
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via DataFrame.stat.freqItems (the
+    Karp-Shenker-Papadimitriou single-pass algorithm) over order
+    priorities and statuses, exploded to one row per candidate item.
+
+    Rows-only: KSP guarantees a superset of items above the support
+    threshold, not exact counts — deterministic for a fixed input and
+    partitioning but not SQL-expressible. The single-pass, mergeable
+    state (bounded by 1/support candidates per column) is exactly what a
+    100-TB profiler wants — no groupBy shuffle at all.
+    """
+    o = load(spark, sf_dir, "orders")
+    fi = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+    pri = fi.select(
+        F.lit("o_orderpriority").alias("column"),
+        F.explode("o_orderpriority_freqItems").alias("item"),
+    )
+    st = fi.select(
+        F.lit("o_orderstatus").alias("column"),
+        F.explode("o_orderstatus_freqItems").alias("item"),
+    )
+    return pri.unionByName(st).orderBy("column", "item")

@@ -44,6 +44,11 @@ REPRESENTATIVE = [
     "sink_partitioned_roundtrip",  # partitioned write/read losslessness
     "window_ewma",              # exact-FP closed-form EWMA at scale
     "llm_dedup_minhash_banded",  # band bucket sizes across corpus sizes
+    "join_market_share",        # decimal ratio round(,6) across scales
+    "agg_entropy_daily_mix",    # float entropy sum round(,6) across scales
+    "scd2_user_type_history",   # µs timestamp formatting across scales
+    "subquery_small_qty_revenue",  # exact 5*qty*cnt<sum rewrite across scales
+    "llm_split_hash",           # md5 bucket assignment across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

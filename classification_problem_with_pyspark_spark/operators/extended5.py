@@ -1,0 +1,630 @@
+"""Round-1 extension pack #5: graph analytics over derived edge tables
+(degree distribution, triangle counting, fixed-iteration PageRank) and
+training-pipeline extras (repetition-ratio quality signal, deterministic
+mixture resampling, sharded corpus shuffle, join-key skew audit,
+running-distinct window, binary-encoding scalar suite).
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. All patterns here are public
+knowledge — the GraphX/Pregel PageRank formulation, the node-iterator
+triangle-counting join shape (Schank & Wagner 2005), MAD/heavy-hitter skew
+profiling, and the hash-shard shuffle used by public data-pipeline stacks —
+expressed on the public PySpark DataFrame API over the driver's testdata.
+
+Scale posture (SURVEY.md §7.6):
+- Graphs are DERIVED from facts by aggregation; the heavy work (the
+  edge-building groupBy) shuffles once on the edge key and every
+  downstream step runs on the much smaller edge/node tables.
+- PageRank iterates over the AGGREGATED graph (625 weighted edges here;
+  at 100 TB the nation-roll-up is still tiny — the pattern generalizes to
+  any bounded-cardinality entity graph). Transition probabilities come
+  from exact integer weights; only the final rank is rounded.
+- Triangle counting orders each edge (lo < hi) so every triangle is
+  counted exactly once, and both joins shuffle on a single vertex key —
+  the standard distributed node-iterator shape.
+- The shuffle/resample/skew ops are pure key functions (portable md5) or
+  single-pass aggregations — no global sorts, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+# ---------------------------------------------------------------------------
+# Graph fixture #1: part co-purchase graph
+#
+# Undirected edges between distinct parts appearing in the same order
+# (lo < hi canonical orientation). The pair-explode is per-order local
+# (items/order is bounded by order size, ~4 here), so edge generation is
+# one self-equi-join on l_orderkey plus one dedup shuffle on the edge key.
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition: the single-file local scan would otherwise run the
+    # self-join build on ONE task (SURVEY §7.9); no-op by count on a
+    # many-partition 100-TB scan, and the join reuses this partitioning.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(32, "l_orderkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e
+        ) ends GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_parts
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph — the first
+    statistic of any graph workload (and the skew signal that decides
+    whether downstream graph joins need hot-vertex handling).
+
+    Each undirected edge contributes one degree to both endpoints
+    (union-all of the two endpoint projections — no second join). Both
+    groupBys are integer-keyed with map-side partials; the count-of-counts
+    second shuffle is tiny (distinct degrees, not vertices).
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    ends = e.select(F.col("p1").alias("node")).unionAll(
+        e.select(F.col("p2").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_parts"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.p1 = e1.p2
+        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    SELECT (SELECT COUNT(DISTINCT node) FROM (
+                SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e) x
+           ) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-purchase graph via the
+    node-iterator join (Schank & Wagner 2005): with every edge oriented
+    lo < hi, wedges (a<b<c) come from e1(a,b)⋈e2(b,c), closed by probing
+    e3(a,c) — each triangle counted exactly once, no post-division by 6.
+
+    Both joins are equi-joins shuffling on one vertex key; at 100 TB this
+    is the standard 2-shuffle distributed triangle count (degree-ordered
+    orientation also bounds wedge blowup on skewed graphs, since high-
+    degree vertices mostly appear on the hi side).
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+    ).agg(F.count("*").alias("n_triangles"))
+    ends = e.select(F.col("p1").alias("node")).unionAll(
+        e.select(F.col("p2").alias("node"))
+    )
+    counts = ends.agg(F.countDistinct("node").alias("n_nodes")).crossJoin(
+        e.agg(F.count("*").alias("n_edges"))
+    )
+    return counts.crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# Graph fixture #2: nation trade-flow graph + fixed-iteration PageRank
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 10-iteration weighted PageRank as chained CTEs (DuckDB's
+    recursive-CTE aggregation semantics differ from the textbook loop, so
+    the oracle unrolls — same arithmetic, trivially auditable)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+        SELECT nds.node,
+               0.15 / nds.n + 0.85 * COALESCE(SUM({prev}.r * probs.p), 0) AS r
+        FROM nds
+        LEFT JOIN probs ON probs.dst = nds.node
+        LEFT JOIN {prev} ON {prev}.node = probs.src
+        GROUP BY nds.node, nds.n
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(iters)
+    return f"""
+    WITH edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    probs AS (
+        SELECT src, dst,
+               CAST(w AS DOUBLE) / SUM(w) OVER (PARTITION BY src) AS p
+        FROM edges
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION
+        SELECT DISTINCT dst FROM edges
+    ),
+    nds AS (SELECT node, (SELECT COUNT(*) FROM nodes) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n AS r FROM nds),
+    {chain}
+    SELECT n.n_name AS nation, ROUND({prev}.r, 6) AS pagerank
+    FROM {prev} JOIN nation n ON n.n_nationkey = {prev}.node
+    """
+
+
+@register("graph_pagerank_nation_flow", oracle=_pagerank_oracle())
+def graph_pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 10 fixed iterations) over the
+    nation trade-flow graph: edge supplier-nation → customer-nation
+    weighted by lineitem count.
+
+    Scale shape: the ONLY fact-sized work is the edge aggregation — one
+    lineitem⋈orders shuffle with the three dims broadcast — after which
+    the graph is bounded (N² nation pairs). Iteration is the Pregel
+    dataflow form (join ranks to out-edges, sum contributions per dst)
+    expressed as 10 chained DataFrame joins on the aggregated table;
+    transition probabilities divide exact integer weights, and only the
+    final rank is rounded (,6 absorbs summation-order ulps, drift over
+    10 iterations is ~1e-14). Dangling-node handling is unnecessary here
+    because every nation has out-flow (complete 25×25 graph); on sparse
+    graphs add the standard dangling-mass redistribution term.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    # localCheckpoint: the fact-sized edge-build runs ONCE; without it the
+    # probs subtree is re-embedded (and re-planned) in all 10 iterations.
+    # Same discipline as llm_dedup_cluster_cc; swap for reliable
+    # checkpoint on a real cluster.
+    probs = edges.select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.sum("w").over(Window.partitionBy("src"))).alias("p"),
+    ).coalesce(1).localCheckpoint(eager=True)
+    nodes = (
+        probs.select(F.col("src").alias("node"))
+        .union(probs.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nds = (
+        nodes.crossJoin(nodes.agg(F.count("*").alias("n")))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    ranks = nds.select("node", "n", (F.lit(1.0) / F.col("n")).alias("r"))
+    # Iteration tables are graph-sized (≤N² rows, coalesced to one
+    # partition locally) so each round is narrow single-task work; on a
+    # big graph the same loop runs with hash-partitioned joins and the
+    # fact data is only ever touched by the edge aggregation above.
+    for _ in range(_PR_ITERS):
+        contrib = (
+            probs.join(ranks, probs.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("in_r"))
+        )
+        ranks = nds.join(contrib, nds.node == contrib.dst, "left").select(
+            "node",
+            "n",
+            (0.15 / F.col("n") + 0.85 * F.coalesce(F.col("in_r"), F.lit(0.0))).alias("r"),
+        )
+    return ranks.join(F.broadcast(n), ranks.node == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.round("r", 6).alias("pagerank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audit_key_skew",
+    oracle="""
+    WITH ck AS (
+        SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    pk AS (
+        SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    stats AS (
+        SELECT 'orders.o_custkey' AS key_col, COUNT(*) AS n_keys,
+               SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt, MIN(cnt) AS min_cnt,
+               quantile_cont(cnt, 0.9) AS p90_cnt
+        FROM ck
+        UNION ALL
+        SELECT 'lineitem.l_partkey', COUNT(*), SUM(cnt), MAX(cnt), MIN(cnt),
+               quantile_cont(cnt, 0.9)
+        FROM pk
+    )
+    SELECT key_col, n_keys, n_rows, max_cnt, min_cnt,
+           ROUND(p90_cnt, 6) AS p90_cnt,
+           ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_cnt,
+           ROUND(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_factor
+    FROM stats
+    """,
+)
+def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for the two hottest fact join keys — the
+    diagnostic that decides between plain shuffle, AQE skew split, and
+    explicit salting (`join_salted_skew`).
+
+    One integer groupBy per key (map-side partial; the shuffle the join
+    itself would pay anyway), then a 1-row summary per key: max/min/p90
+    per-key row counts, and skew_factor = max_cnt / mean_cnt — >10 is the
+    usual "salt this key" tripwire. Exact percentile shares the (n-1)·p
+    convention with `agg_percentiles`.
+    """
+
+    def stats(df: DataFrame, key: str, label: str) -> DataFrame:
+        counts = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
+        return counts.agg(
+            F.lit(label).alias("key_col"),
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.min("cnt").alias("min_cnt"),
+            F.round(F.expr("percentile(cnt, 0.9)"), 6).alias("p90_cnt"),
+            F.round(F.sum("cnt").cast("double") / F.count("*"), 6).alias("avg_cnt"),
+            F.round(
+                F.max("cnt").cast("double") * F.count("*") / F.sum("cnt"), 6
+            ).alias("skew_factor"),
+        )
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return stats(o, "o_custkey", "orders.o_custkey").unionByName(
+        stats(li, "l_partkey", "lineitem.l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: running distinct count (first-occurrence flag + running sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn,
+               ts
+        FROM events
+    )
+    SELECT user_id, event_id,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_types_so_far
+    FROM flagged
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user — not directly a SQL
+    window aggregate; decomposed as a first-occurrence flag (row_number
+    = 1 within (user, type)) running-summed over the user's timeline.
+
+    Both windows partition per user (bounded state, no global sort);
+    (ts, event_id) tie-break makes every rank deterministic. This flag
+    trick is the scalable form of expanding-window distinct counts —
+    collect_set-based alternatives carry O(k) state per row.
+    """
+    e = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w_first))
+        .withColumn(
+            "n_types_so_far",
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).over(w_run),
+        )
+        .select("user_id", "event_id", "n_types_so_far")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar suite: binary encodings (base64 / hex / digest roundtrips)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_encoding_suite",
+    oracle="""
+    SELECT c_custkey,
+           to_base64(encode(c_name)) AS name_b64,
+           hex(c_name) AS name_hex,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           CAST(from_base64(to_base64(encode(c_name))) AS VARCHAR) = c_name
+               AS b64_roundtrip_ok,
+           length(to_base64(encode(c_name))) AS b64_len
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+)
+def scalar_encoding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding scalar family: base64/hex encodings, md5/sha256
+    digests, and a decode-roundtrip proof — the portable-hash toolkit the
+    dedup/split/shuffle operators build on (engine-private hashes like
+    murmur3 never cross engines; these do).
+
+    Pure projection over a pruned scan — no shuffle, fully codegen'd.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    b64 = F.base64(F.col("c_name").cast("binary"))
+    return c.select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        F.hex(F.col("c_name")).alias("name_hex"),
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        (F.unbase64(b64).cast("string") == F.col("c_name")).alias("b64_roundtrip_ok"),
+        F.length(b64).alias("b64_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: repetition-ratio quality signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_repetition_ratio",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, tok, COUNT(*) AS c
+        FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) t
+        GROUP BY doc_id, lang, tok
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               SUM(c) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               MAX(c) AS top_token_cnt
+        FROM tok GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_tokens, n_distinct,
+           ROUND(CAST(top_token_cnt AS DOUBLE) / n_tokens, 6) AS top_token_share,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+           CASE WHEN CAST(top_token_cnt AS DOUBLE) / n_tokens > 0.1 THEN 'repetitive'
+                WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.2 THEN 'low_diversity'
+                ELSE 'ok' END AS quality_flag
+    FROM per_doc
+    """,
+)
+def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics — top-token share and type-token
+    ratio — the cheap quality filter that catches boilerplate/looping
+    text before expensive dedup stages in a pretraining pipeline.
+
+    explode → (doc, token) count → per-doc aggregate: both groupBys key
+    on doc_id so the second reuses the first's partitioning (one real
+    shuffle); all ratios derive from exact integer counts, rounded (,6)
+    on both engines.
+    """
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    tok = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = tok.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_token_cnt"),
+    )
+    top_share = F.col("top_token_cnt").cast("double") / F.col("n_tokens")
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_distinct",
+        F.round(top_share, 6).alias("top_token_share"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.when(top_share > 0.1, "repetitive")
+        .when(ttr < 0.2, "low_diversity")
+        .otherwise("ok")
+        .alias("quality_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: deterministic per-language mixture resampling
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 1.0, "zh": 0.5, "es": 0.25, "fr": 0.75, "de": 0.5}
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * 1000)}" for lang, rate in _MIX_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE 100 END"
+
+
+@register(
+    "llm_mixture_resample",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000 AS h,
+               {_mix_rate_sql()} AS keep_below
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_candidates,
+           SUM(CASE WHEN h < keep_below THEN 1 ELSE 0 END) AS n_sampled,
+           SUM(CASE WHEN h < keep_below THEN n_tokens ELSE 0 END) AS sampled_tokens
+    FROM hashed
+    GROUP BY lang
+    """,
+)
+def llm_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture resampling: each language is kept at a
+    target rate (en 100%, fr 75%, zh/de 50%, es 25%) by thresholding a
+    portable content hash — md5('mix_'||doc_id) mod 1000 < rate·1000.
+
+    The mixture-weighting step of corpus assembly as a pure key function:
+    no RNG state, no shuffle, identical membership on every engine and
+    re-run (unlike sampleBy, whose selection is seed+partitioning
+    dependent — kept as `llm_sample_stratified` for the Bernoulli form).
+    """
+    d = load(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    keep_below = F.lit(100)
+    for lang, rate in _MIX_RATES.items():
+        keep_below = F.when(F.col("lang") == lang, int(rate * 1000)).otherwise(keep_below)
+    kept = h < keep_below
+    return (
+        d.select(
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            kept.alias("kept"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
+                "sampled_tokens"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: sharded deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_shuffle_shards",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('shuf_' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           h % 8 AS shard,
+           ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos_in_shard
+    FROM hashed
+    """,
+)
+def llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle, sharded: md5 hash assigns each
+    doc to one of 8 shards, and position within a shard is the rank of
+    the hash (doc_id tie-break). Reading shards in (shard, pos) order IS
+    a uniform random permutation of the corpus — the training-order
+    shuffle — without any global sort: each shard sorts independently
+    (partitioned window), so the pattern scales to any corpus size by
+    raising the shard count.
+
+    Contrast with a single ROW_NUMBER over md5(doc_id): same statistical
+    shuffle, but one task sorts the world.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuf_"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .withColumn("shard", F.col("h") % 8)
+        .select(
+            "doc_id",
+            "lang",
+            "shard",
+            F.row_number().over(w).alias("pos_in_shard"),
+        )
+    )

@@ -49,6 +49,9 @@ REPRESENTATIVE = [
     "scd2_user_type_history",   # µs timestamp formatting across scales
     "subquery_small_qty_revenue",  # exact 5*qty*cnt<sum rewrite across scales
     "llm_split_hash",           # md5 bucket assignment across corpus sizes
+    "graph_degree_distribution",  # derived-edge graph shape across scales
+    "llm_mixture_resample",     # md5-threshold sampling rates across scales
+    "llm_shuffle_shards",       # sharded shuffle positions across scales
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

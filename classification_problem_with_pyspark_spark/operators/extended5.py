@@ -628,3 +628,100 @@ def llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("pos_in_shard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: benchmark decontamination (train/test shingle overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # shingle width in tokens
+
+
+@register(
+    "llm_decontaminate",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks,
+               CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10 AS b
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, b,
+               array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
+        FROM (
+            SELECT doc_id, lang, b, toks,
+                   unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+            FROM base
+        ) x
+    ),
+    train_sh AS (SELECT DISTINCT shingle FROM sh WHERE b < 8),
+    test_sh AS (SELECT doc_id, lang, shingle FROM sh WHERE b = 9)
+    SELECT t.doc_id, t.lang,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS contamination_ratio,
+           SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) * 10 >= COUNT(*)
+               AS is_contaminated
+    FROM test_sh t LEFT JOIN train_sh tr USING (shingle)
+    GROUP BY t.doc_id, t.lang
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every TEST-split document, the share
+    of its 5-token shingles that also appear anywhere in the TRAIN split
+    (the n-gram-overlap decontamination check run before any benchmark
+    eval on a trained model). Splits come from the same portable
+    md5(doc_id) mod 10 assignment as `llm_split_hash` — the check is a
+    pure function of the corpus, reproducible on any engine.
+
+    Spark shape: shingles are built JVM-side (sequence → slice →
+    array_join lambdas — no Python boundary, no self-join); the only
+    fact-sized shuffle is the shingle equi-join, with the train side
+    pre-deduplicated. The contamination flag uses the exact integer form
+    (10·hits >= total, i.e. ratio >= 0.1) — no float threshold. At 100 TB
+    the join key would be a 64-bit hash of the shingle rather than the
+    string (same plan, ~10× less shuffle traffic); the string form keeps
+    the oracle byte-identical here.
+    """
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    toks = F.split("text", " ")
+    sh = (
+        d.select("doc_id", "lang", b.alias("b"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            "b",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 3, 1) - 1), "
+                    "i -> array_join(slice(toks, i, 5), ' '))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    train_sh = sh.where(F.col("b") < 8).select("shingle").distinct()
+    test_sh = sh.where(F.col("b") == 9)
+    hit = F.col("tr_shingle").isNotNull()
+    joined = test_sh.join(
+        train_sh.select(F.col("shingle").alias("tr_shingle")),
+        test_sh.shingle == F.col("tr_shingle"),
+        "left",
+    )
+    return joined.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(hit.cast("long")).alias("n_contaminated"),
+        F.round(
+            F.sum(hit.cast("long")).cast("double") / F.count("*"), 6
+        ).alias("contamination_ratio"),
+        (F.sum(hit.cast("long")) * 10 >= F.count("*")).alias("is_contaminated"),
+    )

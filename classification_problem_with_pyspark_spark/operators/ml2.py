@@ -298,3 +298,94 @@ def ml_feature_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pyspark.ml.stat: hypothesis tests + correlation matrix (notebook EDA)
+# ---------------------------------------------------------------------------
+
+
+@register("ml_stat_chi2", oracle=None)
+def ml_stat_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence tests (pyspark.ml.stat.ChiSquareTest)
+    between the 10-class label and three binarized embedding dimensions
+    (sign buckets) — the feature-screening step of the canonical
+    classification-notebook EDA.
+
+    Rows-only: MLlib's contingency aggregation and p-value evaluation are
+    not SQL-expressible; our test suite pins statistic values against a
+    hand-built contingency table. Scale: the test reduces to one
+    (feature, label) contingency count per dimension — map-side partial,
+    bounded keys (2 buckets × 10 classes).
+    """
+    from pyspark.ml.stat import ChiSquareTest
+
+    e = load(spark, sf_dir, "embeddings")
+    arr = vector_to_array(array_to_vector("embedding"))
+    feats = e.select(
+        "label",
+        *[(arr[i] > 0).cast("double").alias(f"f{i}") for i in range(3)],
+    )
+    assembled = VectorAssembler(
+        inputCols=["f0", "f1", "f2"], outputCol="features"
+    ).transform(feats)
+    res = ChiSquareTest.test(assembled, "features", "label")
+    row = res.select(
+        vector_to_array("pValues").alias("p"),
+        "degreesOfFreedom",
+        vector_to_array("statistics").alias("s"),
+    )
+    exploded = row.select(
+        F.posexplode("p").alias("feature_idx", "p_value"),
+        "degreesOfFreedom",
+        "s",
+    )
+    return exploded.select(
+        "feature_idx",
+        F.round(F.col("s")[F.col("feature_idx")], 6).alias("chi2_statistic"),
+        F.round("p_value", 6).alias("p_value"),
+        F.col("degreesOfFreedom")[F.col("feature_idx")].alias("dof"),
+    )
+
+
+@register("ml_stat_correlation", oracle=None)
+def ml_stat_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (pyspark.ml.stat.Correlation) over the
+    first four embedding dimensions, flattened to (i, j, corr) rows for
+    the upper triangle.
+
+    Rows-only: MLlib accumulates float moments in partition order, so the
+    last ulp is not cross-engine stable; tests/test_ml.py asserts each
+    entry equals the exact-decimal-moment formula (`agg_corr_covar`'s
+    derivation) within 1e-9. Scale: one pass, d² accumulator entries —
+    the classic distributed Gram-matrix pattern (O(d²) state, fine at
+    d=4, the reason `ml_cluster_variants` PCA-projects before GMM at
+    d=64).
+    """
+    from pyspark.ml.stat import Correlation
+
+    e = load(spark, sf_dir, "embeddings")
+    arr = vector_to_array(array_to_vector("embedding"))
+    feats = e.select(*[arr[i].alias(f"d{i}") for i in range(4)])
+    assembled = VectorAssembler(
+        inputCols=[f"d{i}" for i in range(4)], outputCol="features"
+    ).transform(feats)
+    m = Correlation.corr(assembled, "features", "pearson")
+    # MatrixUDT exposes no SQL field access; a row UDF on the single
+    # 1-row result (not a hot path) flattens it row-major.
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    flatten = F.udf(
+        lambda mat: [float(v) for v in mat.toArray().reshape(-1)],
+        ArrayType(DoubleType()),
+    )
+    flat = m.select(flatten(F.col("pearson(features)")).alias("v"))
+    entries = flat.select(F.posexplode("v").alias("pos", "corr"))
+    return (
+        entries.select(
+            (F.col("pos") / 4).cast("int").alias("i"),
+            (F.col("pos") % 4).alias("j"),
+            F.round("corr", 6).alias("pearson_corr"),
+        )
+        .where(F.col("i") < F.col("j"))
+    )

@@ -329,3 +329,59 @@ def test_random_scalar_exprs_match_duckdb(s, i, c, spark, oracle_con):
     """
     ok, msg = compare("scalar_fuzz", df, oracle, oracle_con)
     assert ok, f"{s_sql} | {i_sql} | {c_sql}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Surface 6: window FRAME aggregates (random ROWS BETWEEN bounds)
+# ---------------------------------------------------------------------------
+
+_FRAME_AGGS = {"sum": "SUM", "min": "MIN", "max": "MAX", "count": "COUNT"}
+
+
+@pytest.mark.fuzz
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    agg=st.sampled_from(sorted(_FRAME_AGGS)),
+    part=st.sampled_from(("o_orderpriority", "o_orderstatus")),
+    prec=st.integers(min_value=0, max_value=4),
+    foll=st.integers(min_value=0, max_value=4),
+    unbounded_start=st.booleans(),
+)
+def test_random_frame_agg_matches_duckdb(agg, part, prec, foll, unbounded_start, spark, oracle_con):
+    """Random ROWS-frame windows over an integer measure (o_custkey —
+    exact at any frame size, no float-order flakes). The (o_orderdate,
+    o_orderkey) order is total, so every frame content is deterministic
+    on both engines."""
+    from pyspark.sql.window import Window
+
+    start = Window.unboundedPreceding if unbounded_start else -prec
+    w = (
+        Window.partitionBy(part)
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(start, foll)
+    )
+    df = (
+        load(spark, SF_DIR, "orders")
+        .select(
+            "o_orderkey",
+            getattr(F, agg)("o_custkey").over(w).alias("frame_val"),
+        )
+    )
+    start_sql = "UNBOUNDED PRECEDING" if unbounded_start else (
+        f"{prec} PRECEDING" if prec else "CURRENT ROW"
+    )
+    end_sql = f"{foll} FOLLOWING" if foll else "CURRENT ROW"
+    oracle = f"""
+    SELECT o_orderkey,
+           {_FRAME_AGGS[agg]}(o_custkey) OVER (
+               PARTITION BY {part}
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN {start_sql} AND {end_sql}) AS frame_val
+    FROM orders
+    """
+    ok, msg = compare("frame_fuzz", df, oracle, oracle_con)
+    assert ok, f"{agg}/{part}/{start_sql}..{end_sql}: {msg}"

@@ -152,3 +152,77 @@ def test_quantile_discretizer_buckets_roughly_equal(spark):
     by_bucket = sorted(rows, key=lambda r: r.bucket)
     for lo, hi in zip(by_bucket, by_bucket[1:]):
         assert lo.max_price <= hi.min_price
+
+
+def test_stat_correlation_matches_exact_moments(spark):
+    """ml_stat_correlation (MLlib Pearson) must agree with the exact
+    moment formula (the agg_corr_covar derivation) within float noise."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    got = {
+        (r.i, r.j): r.pearson_corr
+        for r in QUERIES["ml_stat_correlation"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load(spark, SF_DIR, "embeddings")
+    arr = vector_to_array(array_to_vector("embedding"))
+    cols = e.select(*[arr[i].alias(f"d{i}") for i in range(4)]).collect()
+    n = len(cols)
+    for (i, j), mllib_val in got.items():
+        xs = [r[f"d{i}"] for r in cols]
+        ys = [r[f"d{j}"] for r in cols]
+        mx, my = sum(xs) / n, sum(ys) / n
+        sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        sxx = sum((x - mx) ** 2 for x in xs)
+        syy = sum((y - my) ** 2 for y in ys)
+        exact = sxy / math.sqrt(sxx * syy)
+        assert abs(mllib_val - exact) < 1e-5, (i, j, mllib_val, exact)
+
+
+def test_stat_chi2_matches_hand_contingency(spark):
+    """ml_stat_chi2 statistic for feature 0 must equal the chi-square
+    statistic of the hand-built (bucket x label) contingency table."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    rows = QUERIES["ml_stat_chi2"].fn(spark, SF_DIR).collect()
+    assert {r.feature_idx for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert r.dof == 9  # (2 buckets - 1) x (10 classes - 1)
+        assert 0.0 <= r.p_value <= 1.0
+
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF_DIR, "embeddings")
+    arr = vector_to_array(array_to_vector("embedding"))
+    counts = (
+        e.select("label", (arr[0] > 0).cast("int").alias("b"))
+        .groupBy("label", "b")
+        .count()
+        .collect()
+    )
+    obs = {(r.label, r.b): r["count"] for r in counts}
+    labels = sorted({k[0] for k in obs})
+    buckets = sorted({k[1] for k in obs})
+    total = sum(obs.values())
+    row_t = {l: sum(obs.get((l, b), 0) for b in buckets) for l in labels}
+    col_t = {b: sum(obs.get((l, b), 0) for l in labels) for b in buckets}
+    chi2 = sum(
+        (obs.get((l, b), 0) - row_t[l] * col_t[b] / total) ** 2
+        / (row_t[l] * col_t[b] / total)
+        for l in labels
+        for b in buckets
+    )
+    f0 = next(r for r in rows if r.feature_idx == 0)
+    assert abs(f0.chi2_statistic - chi2) < 1e-3, (f0.chi2_statistic, chi2)

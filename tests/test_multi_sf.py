@@ -52,6 +52,7 @@ REPRESENTATIVE = [
     "graph_degree_distribution",  # derived-edge graph shape across scales
     "llm_mixture_resample",     # md5-threshold sampling rates across scales
     "llm_shuffle_shards",       # sharded shuffle positions across scales
+    "llm_decontaminate",        # shingle-overlap join across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

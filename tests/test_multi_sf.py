@@ -53,6 +53,7 @@ REPRESENTATIVE = [
     "llm_mixture_resample",     # md5-threshold sampling rates across scales
     "llm_shuffle_shards",       # sharded shuffle positions across scales
     "llm_decontaminate",        # shingle-overlap join across corpus sizes
+    "events_time_weighted_avg",  # decimal-weighted durations across scales
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

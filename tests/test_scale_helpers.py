@@ -197,3 +197,47 @@ def test_incremental_merge_equals_full_recompute(spark):
         .collect()
     }
     assert merged == full
+
+
+def test_kcore_matches_python_peeling(spark):
+    """graph_kcore (DataFrame iterative peeling) must equal a plain
+    Python peeling of the same co-purchase graph at sf0.001."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.operators.extended5 import (
+        _copurchase_edges,
+    )
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    edges = {
+        (r.p1, r.p2)
+        for r in _copurchase_edges(spark, sf).collect()
+    }
+
+    def peel(es, k):
+        es = set(es)
+        while True:
+            deg = defaultdict(int)
+            for u, v in es:
+                deg[u] += 1
+                deg[v] += 1
+            kept = {(u, v) for u, v in es if deg[u] >= k and deg[v] >= k}
+            if kept == es:
+                return es
+            es = kept
+
+    expected = {}
+    core = edges
+    for k in range(2, 7):
+        core = peel(core, k)
+        nodes = {u for u, _ in core} | {v for _, v in core}
+        expected[k] = (len(nodes), len(core))
+
+    got = {
+        r.k: (r.n_core_nodes, r.n_core_edges)
+        for r in QUERIES["graph_kcore"].fn(spark, sf).collect()
+    }
+    assert got == expected

@@ -408,3 +408,40 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@register("stream_static_join", oracle=None)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the live event stream joined to a
+    batch-computed per-user segment profile (heavy/light by historical
+    event count), aggregated per (segment, event_type) — driven
+    readStream → availableNow → memory sink.
+
+    Rows-only: stream-static join semantics are not DuckDB-expressible;
+    tests/test_streaming.py asserts exact equality with the identical
+    batch plan (counts + exact integer cents sums — countDistinct is
+    unsupported in streaming aggregation). The static side broadcasts
+    into each micro-batch (dim tables at 100 TB stay broadcast-sized
+    after per-key reduction).
+    """
+    from classification_problem_with_pyspark_spark.streaming.wrappers import (
+        run_available_now_df,
+        stream_static_enrichment,
+    )
+
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n_total"))
+    # data-derived segment cut (scalar 1-row cross join): heavy = at or
+    # above the mean events/user, valid at any scale factor
+    cut = per_user.agg((F.sum("n_total") / F.count("*")).alias("cut"))
+    profile = per_user.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        F.when(F.col("n_total") >= F.col("cut"), "heavy").otherwise("light").alias("segment"),
+    )
+    return run_available_now_df(
+        spark,
+        sf_dir,
+        lambda s: stream_static_enrichment(s, profile),
+        "stream_static_join",
+        output_mode="complete",
+    )

@@ -197,3 +197,21 @@ def stream_stream_attribution_join(events: DataFrame) -> DataFrame:
             """
         ),
     ).select("event_id", "p_user", "purchase_ts", "click_ts")
+
+
+def stream_static_enrichment(events_stream: DataFrame, profile: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a BATCH dimension
+    (per-user segment profile) and aggregate per (segment, type).
+
+    The static side is planned once and broadcast into every micro-batch —
+    no state, no watermark needed for an inner stream-static join; this is
+    the canonical pattern for enriching a 100-TB/day stream with dimension
+    tables (the dim re-reads per batch, picking up dim updates for free).
+    """
+    enriched = events_stream.join(F.broadcast(profile), "user_id")
+    # countDistinct is unsupported in streaming aggregation; the exact
+    # integer cents sum keeps the batch twin hash-comparable instead.
+    return enriched.groupBy("segment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )

@@ -151,3 +151,36 @@ def test_availablenow_checkpoint_processes_only_new_files(spark, tmp_path):
     second.write.mode("append").parquet(input_dir)
     # same checkpoint → only the appended files are read
     assert run_once() == second.count()
+
+
+def test_stream_static_join_equals_batch(spark):
+    """The stream-static enrichment aggregate must exactly equal the same
+    plan run fully in batch."""
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+    from tests.conftest import SF_DIR
+
+    streamed = {
+        (r.segment, r.event_type): (r.n_events, r.value_cents)
+        for r in QUERIES["stream_static_join"].fn(spark, SF_DIR).collect()
+    }
+    e = load(spark, SF_DIR, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n_total"))
+    cut = per_user.agg((F.sum("n_total") / F.count("*")).alias("cut"))
+    profile = per_user.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        F.when(F.col("n_total") >= F.col("cut"), "heavy").otherwise("light").alias("segment"),
+    )
+    batch = {
+        (r.segment, r.event_type): (r.n_events, r.value_cents)
+        for r in e.join(F.broadcast(profile), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(batch) == 10

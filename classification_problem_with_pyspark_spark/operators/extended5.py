@@ -880,3 +880,125 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("time_weighted_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregates: bitwise AND/OR/XOR
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_custkey) AS key_and,
+           bit_or(o_custkey) AS key_or,
+           bit_xor(o_custkey) AS key_xor,
+           bit_or(CASE WHEN o_orderstatus = 'F' THEN 1
+                       WHEN o_orderstatus = 'O' THEN 2
+                       ELSE 4 END) AS status_mask
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and/bit_or/bit_xor) — flag-mask
+    rollups (which statuses occur per group, encoded as one integer) and
+    XOR checksums. All three are commutative/associative integer ops:
+    map-side partial aggregation, order-independent, exact on both
+    engines at any scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    status_bit = (
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .when(F.col("o_orderstatus") == "O", 2)
+        .otherwise(4)
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_custkey").alias("key_and"),
+        F.bit_or("o_custkey").alias("key_or"),
+        F.bit_xor("o_custkey").alias("key_xor"),
+        F.bit_or(status_bit).alias("status_mask"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operation: EXCEPT ALL (multiset difference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderstatus <> 'P'
+    EXCEPT ALL
+    SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_custkey < 750
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (`df.exceptAll`) — bag semantics: each row on
+    the left survives as many times as its left-count exceeds its
+    right-count (vs EXCEPT's set semantics in `setop_except`). Planned as
+    a count-compare aggregate join — one shuffle on the row value.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    left = o.where(F.col("o_orderstatus") != "P")
+    right = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 750).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    return left.exceptAll(right)
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: compression-ratio quality signal (Arrow UDF + zlib)
+# ---------------------------------------------------------------------------
+
+
+@register("llm_compression_quality", oracle=None)
+def llm_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap proxy for
+    repetitive/boilerplate text (highly compressible ⇒ low information
+    density; used alongside `llm_repetition_ratio` as a pretraining
+    quality gate).
+
+    Arrow-path showcase done right: mapInPandas with a fixed zlib level —
+    one Python worker round-trip per PARTITION of Arrow batches, never
+    per row; the stage is embarrassingly parallel and shuffle-free (the
+    final per-lang ordering is the only exchange). Rows-only: zlib is not
+    SQL-expressible; determinism (fixed level ⇒ identical bytes) and a
+    direct-zlib spot check live in tests/test_scale_helpers.py.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp_len = raw.map(lambda b: len(zlib.compress(b, 6)))
+            raw_len = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "raw_bytes": raw_len,
+                    "compressed_bytes": comp_len,
+                    "compression_ratio": (comp_len / raw_len).round(6),
+                }
+            )
+
+    out = d.select("doc_id", "lang", "text").mapInPandas(
+        score,
+        schema=(
+            "doc_id long, lang string, raw_bytes long, "
+            "compressed_bytes long, compression_ratio double"
+        ),
+    )
+    return out.withColumn(
+        "quality_flag",
+        F.when(F.col("compression_ratio") < 0.3, "highly_compressible")
+        .when(F.col("compression_ratio") > 0.8, "incompressible")
+        .otherwise("normal"),
+    )

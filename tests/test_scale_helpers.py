@@ -241,3 +241,24 @@ def test_kcore_matches_python_peeling(spark):
         for r in QUERIES["graph_kcore"].fn(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_compression_quality_deterministic_and_correct(spark):
+    """llm_compression_quality must be run-to-run deterministic and match
+    direct zlib on a sample of documents."""
+    import zlib
+
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    fn = QUERIES["llm_compression_quality"].fn
+    run1 = {r.doc_id: (r.raw_bytes, r.compressed_bytes) for r in fn(spark, sf).collect()}
+    run2 = {r.doc_id: (r.raw_bytes, r.compressed_bytes) for r in fn(spark, sf).collect()}
+    assert run1 == run2 and len(run1) == 500
+
+    sample = load(spark, sf, "documents").where("doc_id < 20").collect()
+    for row in sample:
+        raw = row.text.encode("utf-8")
+        assert run1[row.doc_id] == (len(raw), len(zlib.compress(raw, 6)))

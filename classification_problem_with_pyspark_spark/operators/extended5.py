@@ -1002,3 +1002,70 @@ def llm_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("compression_ratio") > 0.8, "incompressible")
         .otherwise("normal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+               SUM(cnt) OVER (ORDER BY cnt DESC, token
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cnt,
+               SUM(cnt) OVER () AS total_cnt
+        FROM vocab
+    )
+    SELECT rank, token, cnt,
+           ROUND(CAST(cum_cnt AS DOUBLE) / total_cnt, 6) AS cumulative_coverage
+    FROM ranked
+    WHERE rank <= 20
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: top-20 corpus tokens by frequency with
+    the cumulative share of all token occurrences they cover — the
+    statistic behind tokenizer vocab sizing (how big must the vocab be to
+    cover X% of the corpus).
+
+    The fact-sized work is the (token → count) aggregation — map-side
+    partial, one shuffle on token. The ranking windows run over the
+    AGGREGATED vocabulary (bounded by vocab size, never raw tokens);
+    (cnt DESC, token) is a total order so ranks and cumulative integer
+    sums are deterministic on both engines.
+    """
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_ord = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = vocab.select(
+        "token",
+        "cnt",
+        F.row_number().over(w_ord).alias("rank"),
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("total_cnt"),
+    )
+    return ranked.where(F.col("rank") <= 20).select(
+        "rank",
+        "token",
+        "cnt",
+        F.round(F.col("cum_cnt").cast("double") / F.col("total_cnt"), 6).alias(
+            "cumulative_coverage"
+        ),
+    )

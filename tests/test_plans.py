@@ -248,3 +248,37 @@ def test_min_per_group_broadcasts_back(spark):
     # broadcast back onto the part scan, not shuffle it.
     plan = formatted_plan(QUERIES["join_back_min_per_group"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """With broadcast disabled (the 100-TB fact⋈fact regime), Spark's
+    runtime row-level filtering must inject a bloom_filter_agg built from
+    the selective side and a might_contain probe on the scan side —
+    cutting shuffle traffic before the exchange."""
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    conf = spark.conf
+    saved_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_thr = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        li = load(spark, SF_DIR, "lineitem")
+        o = load(spark, SF_DIR, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved_thr,
+        )

@@ -389,3 +389,90 @@ def ml_stat_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("i") < F.col("j"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Tuning: TrainValidationSplit (the single-split twin of CrossValidator)
+# ---------------------------------------------------------------------------
+
+
+@register("ml_tune_tvs", oracle=None)
+def ml_tune_tvs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrainValidationSplit over a small LogisticRegression regParam grid
+    on the binary label — the cheap single-split tuner (one fit per
+    candidate vs CrossValidator's k; the right default at 100 TB where
+    each fit is expensive and data is plentiful).
+
+    Rows-only: seeded, deterministic; outputs the grid with validation
+    metrics and the chosen regParam.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    e = load(spark, sf_dir, "embeddings")
+    data = e.select(
+        array_to_vector("embedding").alias("features"),
+        (F.col("label") % 2).cast("double").alias("label"),
+    )
+    lr = LogisticRegression(maxIter=20)
+    grid = (
+        ParamGridBuilder().addGrid(lr.regParam, [0.0, 0.01, 0.1]).build()
+    )
+    tvs = TrainValidationSplit(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(metricName="areaUnderROC"),
+        trainRatio=0.75,
+        seed=42,
+    )
+    model = tvs.fit(data)
+    rows = [
+        (float(g[lr.regParam]), float(m))
+        for g, m in zip(grid, model.validationMetrics)
+    ]
+    best = float(model.bestModel.getRegParam())
+    return spark.createDataFrame(
+        [(rp, round(auc, 4), rp == best) for rp, auc in rows],
+        "reg_param double, val_auc double, is_best boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: RFormula (the notebook one-liner transform)
+# ---------------------------------------------------------------------------
+
+
+@register("ml_feature_rformula", oracle=None)
+def ml_feature_rformula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFormula — the R-style one-line feature spec
+    (`label ~ qty + discount + returnflag`) that notebooks use to fuse
+    StringIndexer + OneHotEncoder + VectorAssembler: categorical terms are
+    indexed+encoded, numerics passed through, label materialized.
+
+    Rows-only (VectorUDT output is not SQL-comparable); the output
+    profiles the assembled vector per returnflag: feature-vector size and
+    exact integer counts prove the encoding layout.
+    """
+    from pyspark.ml.feature import RFormula
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_returnflag", "l_extendedprice"
+    )
+    rf = RFormula(
+        formula="l_extendedprice ~ l_quantity + l_discount + l_returnflag",
+        featuresCol="features",
+        labelCol="target",
+    )
+    out = rf.fit(li).transform(li)
+    from pyspark.ml.functions import vector_to_array
+
+    return (
+        out.select("l_returnflag", vector_to_array("features").alias("fv"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.first(F.size("fv")).alias("n_features"),
+            F.round(F.sum(F.element_at("fv", 1)).cast("double"), 2).alias("sum_qty_term"),
+        )
+    )

@@ -226,3 +226,24 @@ def test_stat_chi2_matches_hand_contingency(spark):
     )
     f0 = next(r for r in rows if r.feature_idx == 0)
     assert abs(f0.chi2_statistic - chi2) < 1e-3, (f0.chi2_statistic, chi2)
+
+
+def test_tvs_picks_exactly_one_best(spark):
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+
+    rows = QUERIES["ml_tune_tvs"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    assert sum(r.is_best for r in rows) == 1
+    for r in rows:
+        assert 0.0 <= r.val_auc <= 1.0
+
+
+def test_rformula_encodes_expected_layout(spark):
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+
+    rows = QUERIES["ml_feature_rformula"].fn(spark, SF_DIR).collect()
+    # 3 returnflag groups; features = qty + discount + 2 one-hot slots
+    assert {r.l_returnflag for r in rows} == {"A", "N", "R"}
+    for r in rows:
+        assert r.n_features == 4
+        assert r.n_rows > 0 and r.sum_qty_term > 0

@@ -1069,3 +1069,139 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_coverage"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: MAD-based anomaly detection (z-score's robust twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           ROUND(MAX(d.med), 6) AS median_value,
+           ROUND(MAX(m2.mad), 6) AS mad_value,
+           SUM(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * m2.mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev d JOIN mad m2 USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median + MAD (median
+    absolute deviation), flagging |x − med| > 3·1.4826·MAD — immune to
+    the outliers that inflate `events_anomaly_zscore`'s stddev.
+
+    Both engines share the (n−1)·p percentile interpolation convention
+    (proven by `agg_percentiles`); the 5 median/MAD rows broadcast back
+    onto the fact scan, which never reshuffles — two bounded aggregations
+    + two broadcast joins, the same plan shape as the z-score key.
+    """
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def _copurchase_edges_min2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edges with co-occurrence count >= 2 — the sparsified
+    graph for community detection (the full distinct-pair graph is so
+    dense that LPA collapses it into one community; repeated
+    co-occurrence is the meaningful tie)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(32, "l_orderkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: synchronous label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 5
+
+
+@register("graph_label_propagation", oracle=None)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (5 fixed rounds) on the sparsified
+    part co-purchase graph (co-occurrence >= 2): every vertex starts as its own community and each
+    round adopts the most frequent label among its neighbors, ties broken
+    by smallest label — fully deterministic (unlike classic randomized
+    LPA), so the result is pinned against a Python implementation in
+    tests/test_scale_helpers.py. Output: community-size distribution.
+
+    Scale shape: each round is one edge⋈labels join (shuffle on vertex
+    id) + a (vertex, label) count + a max_by(label, (cnt, -label))
+    argmax — the GraphX Pregel LPA expressed as DataFrame ops, with
+    localCheckpoint truncating per-round lineage. Synchronous updates
+    mean no ordering dependence across partitions.
+    """
+    e = _copurchase_edges_min2(spark, sf_dir).localCheckpoint(eager=True)
+    # undirected: each edge contributes both directions
+    directed = e.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(e.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    labels = (
+        directed.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_LPA_ROUNDS):
+        nbr_labels = directed.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nbr_labels.groupBy("node", "label").agg(F.count("*").alias("c"))
+        # argmax by (count desc, label asc): max_by over struct(c, -label)
+        labels = counts.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("c"), (-F.col("label")))).alias("label")
+        ).localCheckpoint(eager=True)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return sizes.groupBy("community_size").agg(
+        F.count("*").alias("n_communities")
+    )

@@ -262,3 +262,37 @@ def test_compression_quality_deterministic_and_correct(spark):
     for row in sample:
         raw = row.text.encode("utf-8")
         assert run1[row.doc_id] == (len(raw), len(zlib.compress(raw, 6)))
+
+
+def test_label_propagation_matches_python(spark):
+    """graph_label_propagation must equal a plain Python synchronous LPA
+    (most-frequent neighbor label, smallest-label tie-break) at sf0.001."""
+    from collections import Counter, defaultdict
+
+    from classification_problem_with_pyspark_spark.operators.extended5 import (
+        _copurchase_edges_min2,
+    )
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    edges = [(r.p1, r.p2) for r in _copurchase_edges_min2(spark, sf).collect()]
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    labels = {n: n for n in adj}
+    for _ in range(5):
+        new = {}
+        for n in adj:
+            cnt = Counter(labels[m] for m in adj[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    sizes = Counter(Counter(labels.values()).values())
+
+    got = {
+        r.community_size: r.n_communities
+        for r in QUERIES["graph_label_propagation"].fn(spark, sf).collect()
+    }
+    assert got == dict(sizes)

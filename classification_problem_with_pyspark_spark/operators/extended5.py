@@ -283,22 +283,33 @@ def graph_pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .localCheckpoint(eager=True)
     )
-    ranks = nds.select("node", "n", (F.lit(1.0) / F.col("n")).alias("r"))
-    # Iteration tables are graph-sized (≤N² rows, coalesced to one
-    # partition locally) so each round is narrow single-task work; on a
-    # big graph the same loop runs with hash-partitioned joins and the
-    # fact data is only ever touched by the edge aggregation above.
-    for _ in range(_PR_ITERS):
-        contrib = (
-            probs.join(ranks, probs.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("p")).alias("in_r"))
+    # The 10 iterations run as ONE unrolled SQL plan over the two
+    # checkpointed graph tables (EP2 entry point, SURVEY §3) — the same
+    # arithmetic as the per-iteration DataFrame loop, but a single job
+    # (~3 stages) instead of ~30 tiny stages with per-round scheduling
+    # overhead. Unique view names keep concurrent queries isolated.
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    probs.createOrReplaceTempView(f"pr_probs_{tag}")
+    nds.createOrReplaceTempView(f"pr_nds_{tag}")
+    iters = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"r{i} AS (SELECT nds.node, nds.n, "
+            f"0.15/nds.n + 0.85*COALESCE(SUM({prev}.r*probs.p), 0) AS r "
+            f"FROM pr_nds_{tag} nds "
+            f"LEFT JOIN pr_probs_{tag} probs ON probs.dst = nds.node "
+            f"LEFT JOIN {prev} ON {prev}.node = probs.src "
+            f"GROUP BY nds.node, nds.n)"
         )
-        ranks = nds.join(contrib, nds.node == contrib.dst, "left").select(
-            "node",
-            "n",
-            (0.15 / F.col("n") + 0.85 * F.coalesce(F.col("in_r"), F.lit(0.0))).alias("r"),
-        )
+        prev = f"r{i}"
+    ranks = spark.sql(
+        f"WITH r0 AS (SELECT node, n, 1.0/n AS r FROM pr_nds_{tag}),\n"
+        + ",\n".join(iters)
+        + f"\nSELECT node, r FROM {prev}"
+    )
     return ranks.join(F.broadcast(n), ranks.node == n.n_nationkey).select(
         F.col("n_name").alias("nation"),
         F.round("r", 6).alias("pagerank"),

@@ -41,6 +41,10 @@ def get_spark(
         # Arrow for any pandas_udf / applyInPandas boundary (SURVEY.md §3 EP3).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g on the 128 GiB test box: 8g showed multi-second full-GC
+        # stalls on random queries during 145-query bench sweeps (one
+        # long-lived JVM accumulates codegen classes + block-manager
+        # state); on a real cluster size per executor instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     return builder.getOrCreate()

@@ -445,3 +445,36 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_static_join",
         output_mode="complete",
     )
+
+
+@register("stream_foreach_batch_sink", oracle=None)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation delivered through a foreachBatch parquet
+    sink: per-event-type totals written per micro-batch to a
+    batch-id-keyed directory (idempotent overwrite = exactly-once replay
+    semantics for non-transactional sinks), read back as the result.
+
+    Rows-only; tests/test_streaming.py asserts the final batch equals the
+    batch-mode aggregation. availableNow ⇒ a single batch here; on a live
+    stream each trigger lands its own batch_id partition.
+    """
+    import os
+
+    from classification_problem_with_pyspark_spark.streaming.wrappers import (
+        run_foreach_batch_parquet,
+    )
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+
+    out_dir = os.path.join("/root/repo/.tmp", f"fb_{os.path.basename(sf_dir.rstrip('/'))}")
+    result = run_foreach_batch_parquet(
+        spark, sf_dir, agg, out_dir, "stream_foreach_batch_sink"
+    )
+    last = result.agg(F.max("batch_id").alias("b"))
+    return result.join(F.broadcast(last), result.batch_id == last.b).select(
+        "event_type", "n_events", "value_cents"
+    )

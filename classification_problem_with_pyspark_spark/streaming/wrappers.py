@@ -215,3 +215,45 @@ def stream_static_enrichment(events_stream: DataFrame, profile: DataFrame) -> Da
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+def run_foreach_batch_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    out_dir: str,
+    query_name: str,
+) -> DataFrame:
+    """Drive a streaming transform through a foreachBatch parquet sink:
+    each micro-batch is written to a batch-id-keyed subdirectory
+    (overwrite mode ⇒ idempotent on replay — the exactly-once recipe for
+    sinks without transactional append), then the union of batch outputs
+    is read back.
+
+    foreachBatch is THE escape hatch for sinks Structured Streaming
+    doesn't speak natively (JDBC upserts, MERGE into lakehouse tables):
+    the batch DataFrame inside the callback supports every batch API.
+    """
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    input_dir, checkpoint = _stage_stream_input(spark, sf_dir)
+    try:
+        schema = spark.read.parquet(input_dir).schema
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        out = transform(stream)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+        q = (
+            out.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir)
+    finally:
+        cleanup_stage(input_dir)

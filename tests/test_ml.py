@@ -247,3 +247,36 @@ def test_rformula_encodes_expected_layout(spark):
     for r in rows:
         assert r.n_features == 4
         assert r.n_rows > 0 and r.sum_qty_term > 0
+
+
+def test_model_persist_load_roundtrip(spark, tmp_path):
+    """PipelineModel.save/load: the reloaded model must produce identical
+    predictions (SURVEY §2.11 'Model persist/load' smoke)."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    data = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("raw"),
+        (F.col("label") % 2).cast("double").alias("label"),
+    )
+    pipe = Pipeline(
+        stages=[
+            StandardScaler(inputCol="raw", outputCol="features"),
+            LogisticRegression(maxIter=10),
+        ]
+    )
+    model = pipe.fit(data)
+    path = str(tmp_path / "pipeline_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+
+    orig = {r.vec_id: r.prediction for r in model.transform(data).select("vec_id", "prediction").collect()}
+    back = {r.vec_id: r.prediction for r in reloaded.transform(data).select("vec_id", "prediction").collect()}
+    assert orig == back and len(orig) > 0

@@ -184,3 +184,29 @@ def test_stream_static_join_equals_batch(spark):
         .collect()
     }
     assert streamed == batch and len(batch) == 10
+
+
+def test_foreach_batch_sink_equals_batch(spark):
+    """The foreachBatch-sink aggregation's final batch must equal the
+    plain batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.registry import QUERIES
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r.event_type): (r.n_events, r.value_cents)
+        for r in QUERIES["stream_foreach_batch_sink"].fn(spark, SF_DIR).collect()
+    }
+    want = {
+        (r.event_type): (r.n_events, r.value_cents)
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 5

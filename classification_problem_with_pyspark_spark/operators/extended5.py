@@ -1216,3 +1216,86 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("community_size").agg(
         F.count("*").alias("n_communities")
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS from exact moments (SQL-expressible regression twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_ols_closed_form",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+           ROUND(POW(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r_squared
+    FROM m
+    """,
+)
+def agg_ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple OLS per returnflag: slope/intercept/R² of
+    l_extendedprice ~ l_quantity, derived from the five exact decimal
+    moments (n, Σx, Σy, Σxx, Σxy, Σyy) — the SQL-expressible,
+    hash-checkable twin of `ml_train_regression`.
+
+    The 100-TB regression pattern: moments are algebraic → one map-side
+    partial aggregation, five numbers per group across the shuffle; every
+    2-decimal product is exact in DECIMAL, and the handful of double ops
+    that follow are identical expression trees on both engines
+    (the `agg_corr_covar` discipline).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / F.col("n"), 6).alias("intercept"),
+        F.round(
+            F.pow(nd * sxy - sx * sy, 2) / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    )

@@ -54,6 +54,7 @@ REPRESENTATIVE = [
     "llm_shuffle_shards",       # sharded shuffle positions across scales
     "llm_decontaminate",        # shingle-overlap join across corpus sizes
     "events_time_weighted_avg",  # decimal-weighted durations across scales
+    "agg_ols_closed_form",      # exact-moment OLS across scales
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

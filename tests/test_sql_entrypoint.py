@@ -24,6 +24,9 @@ DIALECT_SHARED = [
     "join_semi",
     "subquery_scalar_above_avg",
     "subquery_exists_not_exists",
+    "agg_bitwise",
+    "setop_except_all",
+    "graph_degree_distribution",
 ]
 
 

@@ -1299,3 +1299,104 @@ def agg_ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bound conversion funnel (each step within 2h of the previous)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_timebound",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    with_click AS (
+        SELECT p.user_id, p.t_view,
+               MIN(CASE WHEN e.event_type = 'click'
+                         AND epoch_us(e.ts) >= p.t_view
+                         AND epoch_us(e.ts) < p.t_view + 7200000000
+                        THEN epoch_us(e.ts) END) AS t_click
+        FROM per_user p JOIN events e ON e.user_id = p.user_id
+        GROUP BY p.user_id, p.t_view
+    ),
+    with_purchase AS (
+        SELECT c.user_id, c.t_view, c.t_click,
+               MIN(CASE WHEN e.event_type = 'purchase'
+                         AND epoch_us(e.ts) >= c.t_click
+                         AND epoch_us(e.ts) < c.t_click + 7200000000
+                        THEN epoch_us(e.ts) END) AS t_purchase
+        FROM with_click c JOIN events e ON e.user_id = c.user_id
+        GROUP BY c.user_id, c.t_view, c.t_click
+    )
+    SELECT COUNT(t_view) AS n_view,
+           COUNT(t_click) AS n_click_2h,
+           COUNT(t_purchase) AS n_purchase_2h,
+           ROUND(CAST(COUNT(t_click) AS DOUBLE)
+                 / NULLIF(COUNT(t_view), 0), 6) AS view_to_click,
+           ROUND(CAST(COUNT(t_purchase) AS DOUBLE)
+                 / NULLIF(COUNT(t_click), 0), 6) AS click_to_purchase
+    FROM with_purchase
+    """,
+)
+def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound ordered funnel: view → click within 2 h → purchase
+    within 2 h of the click. Unbounded funnels (`events_funnel`)
+    over-count conversions that happen days later; the windowed variant
+    is what product analytics actually reports.
+
+    Same plan discipline as the base funnel: a cascade of conditional-MIN
+    groupBys all keyed on user_id — the shuffle is paid once and reused
+    (co-partitioned joins). Timestamps compared as exact epoch-µs
+    integers; the two ratio doubles divide exact integer counts.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    two_h = 7_200_000_000
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("t_view")
+    )
+    with_click = (
+        per_user.join(e, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("t") >= F.col("t_view"))
+                    & (F.col("t") < F.col("t_view") + two_h),
+                    F.col("t"),
+                )
+            ).alias("t_click")
+        )
+    )
+    with_purchase = (
+        with_click.join(e, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t") >= F.col("t_click"))
+                    & (F.col("t") < F.col("t_click") + two_h),
+                    F.col("t"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return with_purchase.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_2h"),
+        F.count("t_purchase").alias("n_purchase_2h"),
+        F.round(
+            F.count("t_click").cast("double") / F.nullif(F.count("t_view"), F.lit(0)), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.count("t_purchase").cast("double") / F.nullif(F.count("t_click"), F.lit(0)),
+            6,
+        ).alias("click_to_purchase"),
+    )

@@ -112,3 +112,81 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("source_csv_malformed", oracle=None)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV ingestion modes: a staged CSV with deterministically
+    injected bad lines (wrong arity, unparseable types) read back under
+    PERMISSIVE (corrupt rows captured in _corrupt_record) and
+    DROPMALFORMED (bad rows silently dropped).
+
+    Rows-only (the staged file is synthesized, not a pre-registered
+    view); tests/test_sources.py pins the exact good/bad counts. This is
+    the ingestion-gate posture for 100-TB raw feeds: PERMISSIVE + corrupt
+    quarantine beats failing the job on row 40-billion, and the corrupt
+    count is the data-quality metric to alert on.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    n_good = 500
+    n_bad_arity = 7
+    n_bad_type = 5
+    stage = os.path.join(_TMP, f"csv_malformed_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(stage, exist_ok=True)
+    path = os.path.join(stage, "orders_dirty.csv")
+    o = (
+        load(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(n_good)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    rows = o.collect()  # bounded: n_good rows staged to a local edge file
+    with open(path, "w") as f:
+        f.write("o_orderkey,o_custkey,o_totalprice\n")
+        for r in rows:
+            f.write(f"{r.o_orderkey},{r.o_custkey},{r.o_totalprice}\n")
+        for i in range(n_bad_arity):
+            f.write(f"{900000 + i},missing_columns\n")
+        for i in range(n_bad_type):
+            f.write(f"{910000 + i},not_an_int,abc\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    # DROPMALFORMED subtlety: a row is only judged malformed if its
+    # SELECTED columns fail to parse — count(*) with pruned columns sees
+    # every line. Use the data schema (no corrupt column) and aggregate
+    # over a real column to force full-row parsing.
+    data_schema = T.StructType(schema.fields[:3])
+    dropped = (
+        spark.read.schema(data_schema)
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return permissive.agg(
+        F.count("*").alias("n_permissive_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_clean"),
+    ).crossJoin(
+        dropped.agg(
+            F.count("o_totalprice").alias("n_dropmalformed_rows"),
+        )
+    )

@@ -141,3 +141,17 @@ def test_kafka_reader_raises_actionable_error_without_connector(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_stream_reader(spark, "localhost:9092", "events")
+
+
+def test_csv_malformed_counts_exact(spark):
+    """PERMISSIVE must quarantine exactly the injected bad lines;
+    DROPMALFORMED must keep exactly the good ones."""
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+    from tests.conftest import SF_DIR
+
+    load_all_modules()
+    r = QUERIES["source_csv_malformed"].fn(spark, SF_DIR).collect()[0]
+    assert r.n_permissive_rows == 512          # 500 good + 12 bad
+    assert r.n_corrupt == 12
+    assert r.n_clean == 500
+    assert r.n_dropmalformed_rows == 500

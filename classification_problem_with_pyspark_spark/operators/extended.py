@@ -27,19 +27,22 @@ _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 @register(
     "agg_corr_covar",
     oracle="""
-    WITH s AS (
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS dc
+        FROM lineitem
+    ),
+    s AS (
         SELECT l_returnflag,
                COUNT(*) AS row_cnt,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-        FROM lineitem
+               CAST(SUM(qc) AS DOUBLE) / 100 AS sx,
+               CAST(SUM(dc) AS DOUBLE) / 100 AS sy,
+               CAST(SUM(qc * qc) AS DOUBLE) / 10000 AS sxx,
+               CAST(SUM(dc * dc) AS DOUBLE) / 10000 AS syy,
+               CAST(SUM(qc * dc) AS DOUBLE) / 10000 AS sxy
+        FROM c
         GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -56,22 +59,32 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOT F.corr/F.covar_samp: those accumulate doubles in partition order,
     so the result is run- and engine-dependent at scale. Instead the five
-    moments are summed EXACTLY in decimal (inputs have 2 decimals, products
-    4 — exact at any N), then corr/covar are derived in double from the
-    exact sums with the same expression tree as the oracle. Deterministic
-    at 100 TB, and still one partial-agg shuffle of 5 numbers per group.
+    moments are summed EXACTLY as integer cents (2-decimal inputs x100 —
+    long sums are exact AND stay in integer whole-stage codegen, ~3x the
+    decimal path), then corr/covar are derived in double from the exact
+    sums with the same expression tree as the oracle. Deterministic at
+    100 TB, and still one partial-agg shuffle of 5 numbers per group.
     """
     li = load(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("decimal(18,2)")
-    d = F.col("l_discount").cast("decimal(18,2)")
-    s = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("row_cnt"),
-        F.count("*").cast("double").alias("n"),
-        F.sum(q).cast("double").alias("sx"),
-        F.sum(d).cast("double").alias("sy"),
-        F.sum(q * q).cast("double").alias("sxx"),
-        F.sum(d * d).cast("double").alias("syy"),
-        F.sum(q * d).cast("double").alias("sxy"),
+    # integer-cents moments: 2-decimal inputs scaled to exact longs — the
+    # same exactness as decimal sums at integer-codegen speed (measured
+    # ~3x on this key). Long capacity: qc<=5e3, qc^2<=2.5e7, so even
+    # 1e11 rows stay under 2^63; the /100 and /1e4 rescales are exact
+    # doubles (sums < 2^53) with identical expression trees both engines.
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    s = (
+        li.select("l_returnflag", qc.alias("qc"), dc.alias("dc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("row_cnt"),
+            F.count("*").cast("double").alias("n"),
+            (F.sum("qc").cast("double") / 100).alias("sx"),
+            (F.sum("dc").cast("double") / 100).alias("sy"),
+            (F.sum(F.col("qc") * F.col("qc")).cast("double") / 10000).alias("sxx"),
+            (F.sum(F.col("dc") * F.col("dc")).cast("double") / 10000).alias("syy"),
+            (F.sum(F.col("qc") * F.col("dc")).cast("double") / 10000).alias("sxy"),
+        )
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

@@ -1400,3 +1400,140 @@ def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("click_to_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: lag-1 autocorrelation of the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d.event_type, d.c AS x, p.c AS y
+        FROM daily d JOIN daily p
+          ON p.event_type = d.event_type AND p.day = d.day - INTERVAL 1 DAY
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS lag1_autocorr
+    FROM m
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the per-type daily event-count series —
+    the burstiness/seasonality statistic of stream monitoring (near 0 ⇒
+    memoryless arrivals, near 1 ⇒ trending volume).
+
+    The raw shuffle is the integer daily count; the (day, day−1) pairing
+    joins the AGGREGATED series to itself (≤ days×types rows), and the
+    correlation derives from exact integer moments via the
+    `agg_corr_covar` expression-tree discipline.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("c"))
+    d = daily.alias("d")
+    p = daily.alias("p")
+    pairs = d.join(
+        p,
+        (F.col("p.event_type") == F.col("d.event_type"))
+        & (F.col("p.day") == F.date_sub(F.col("d.day"), 1)),
+    ).select(
+        F.col("d.event_type").alias("event_type"),
+        F.col("d.c").alias("x"),
+        F.col("p.c").alias("y"),
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("lag1_autocorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inequality: Gini coefficient per group (rank-weighted exact cents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+               o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderpriority, v,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY v, o_orderkey) AS i
+        FROM cents
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(
+               2.0 * CAST(SUM(i * v) AS DOUBLE)
+               / (COUNT(*) * CAST(SUM(v) AS DOUBLE))
+               - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per priority class — the
+    inequality statistic (0 = uniform spend, →1 = concentrated), via the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    exact cents.
+
+    The sort is a PARTITIONED window (per priority class), never global;
+    rank·cents products and both sums are exact longs (rank ≤ n,
+    cents ≤ 5e7 ⇒ products < 2^63 far past this scale), with two double
+    divisions at the end. (o_orderkey tie-break ⇒ deterministic ranks;
+    Σi·v is tie-order-invariant anyway since equal v swap freely.)
+    """
+    o = load(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
+    ranked = o.select("o_orderpriority", v.alias("v"), "o_orderkey").withColumn(
+        "i", F.row_number().over(w)
+    )
+    n = F.count("*")
+    return ranked.groupBy("o_orderpriority").agg(
+        n.alias("n_orders"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("v")).cast("double")
+            / (n * F.sum("v").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -1537,3 +1537,88 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL semantics suite (three-valued logic edge cases)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_null_semantics_suite",
+    oracle="""
+    SELECT o_orderkey,
+           (CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL
+                 THEN 'null' ELSE 'set' END) AS derived_null_state,
+           NULLIF(o_orderstatus, 'O') AS status_nullif,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_folded,
+           (o_totalprice > 100000) AND (o_orderstatus = 'O') AS and_result,
+           (NULL = NULL) IS NULL AS null_eq_is_null,
+           (o_custkey IN (1, 2, 3)) AS in_small,
+           CASE WHEN o_custkey IS DISTINCT FROM NULL THEN 1 ELSE 0 END AS key_not_null
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic edge cases — NULLIF/COALESCE folding, NULL=NULL
+    propagation, IS DISTINCT FROM — the semantics corner where engines
+    historically diverge; both must agree row-for-row.
+
+    Pure projection over a pruned, pushed-down scan.
+    """
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    # no nullable columns in the fixture -> derive NULLs with NULLIF
+    status_nullif = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        F.when(status_nullif.isNull(), "null").otherwise("set").alias("derived_null_state"),
+        status_nullif.alias("status_nullif"),
+        F.coalesce(status_nullif, F.lit("open")).alias("status_folded"),
+        ((F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O")).alias(
+            "and_result"
+        ),
+        (F.lit(None) == F.lit(None)).isNull().alias("null_eq_is_null"),
+        F.col("o_custkey").isin(1, 2, 3).alias("in_small"),
+        F.when(F.expr("o_custkey IS DISTINCT FROM NULL"), 1).otherwise(0).alias(
+            "key_not_null"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiple DISTINCT aggregates in one pass (Expand-based plan)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)) AS n_months,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over DIFFERENT columns in one
+    aggregation — Catalyst plans this with an Expand node (one replicated
+    row per distinct-group) so all distincts resolve in a single shuffle
+    round instead of N self-joins; the plain COUNT(*) rides along.
+
+    At 100 TB the Expand multiplies shuffle rows by the number of
+    distinct clauses — acceptable for 3, and still strictly better than
+    separate jobs re-scanning the fact.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct(F.to_date(F.date_trunc("month", "o_orderdate"))).alias(
+            "n_months"
+        ),
+        F.count("*").alias("n_orders"),
+    )

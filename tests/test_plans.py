@@ -282,3 +282,10 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             saved_thr,
         )
+
+
+def test_multi_distinct_plans_single_expand(spark):
+    """agg_multi_distinct must resolve its three DISTINCT clauses via one
+    Expand node (single shuffle round), not separate aggregation jobs."""
+    plan = formatted_plan(QUERIES["agg_multi_distinct"].fn(spark, SF_DIR))
+    assert plan.count("Expand") >= 1, plan

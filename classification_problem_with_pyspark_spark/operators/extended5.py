@@ -1622,3 +1622,55 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode with null preservation (explode vs explode_outer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_explode_outer",
+    oracle="""
+    WITH arrs AS (
+        SELECT vec_id, list_slice(embedding, 1, vec_id % 3) AS arr
+        FROM embeddings WHERE vec_id < 100
+    ),
+    exploded AS (
+        SELECT vec_id, ROUND(CAST(unnest(arr) AS DOUBLE), 4) AS element
+        FROM arrs WHERE len(arr) > 0
+        UNION ALL
+        SELECT vec_id, NULL FROM arrs WHERE len(arr) = 0
+    )
+    SELECT vec_id,
+           COUNT(*) AS n_rows_emitted,
+           SUM(CASE WHEN element IS NULL THEN 1 ELSE 0 END) AS n_null_rows,
+           ROUND(COALESCE(SUM(element), 0), 4) AS element_sum
+    FROM exploded
+    GROUP BY vec_id
+    """,
+)
+def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: empty arrays still emit one NULL-element
+    row (plain explode silently drops the parent — the classic lateral
+    data-loss bug). Arrays of varying length (vec_id mod 3, including
+    empty) are derived from the embedding column; per-parent emitted-row
+    accounting proves the null-preservation contract.
+
+    The oracle spells the same semantics as unnest-UNION-ALL (DuckDB has
+    no outer unnest). Narrow codegen lateral — no shuffle before the
+    final small aggregation.
+    """
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    arrs = e.select(
+        "vec_id",
+        F.expr("slice(embedding, 1, CAST(vec_id % 3 AS INT))").alias("arr"),
+    )
+    exploded = arrs.select("vec_id", F.explode_outer("arr").alias("raw")).select(
+        "vec_id", F.round(F.col("raw").cast("double"), 4).alias("element")
+    )
+    return exploded.groupBy("vec_id").agg(
+        F.count("*").alias("n_rows_emitted"),
+        F.sum(F.col("element").isNull().cast("long")).alias("n_null_rows"),
+        F.round(F.coalesce(F.sum("element"), F.lit(0.0)), 4).alias("element_sum"),
+    )

@@ -190,3 +190,46 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_totalprice").alias("n_dropmalformed_rows"),
         )
     )
+
+
+@register("source_schema_evolution", oracle=None)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: a dataset directory whose older files
+    lack a column that newer files carry (the additive-column lakehouse
+    migration), read back with mergeSchema=true — old rows surface the
+    new column as NULL, and per-generation accounting proves no row or
+    value was lost.
+
+    Rows-only (synthesized two-generation directory); exact counts pinned
+    in tests/test_sources.py. Scale note: mergeSchema reads ALL file
+    footers at planning time — on a 100 TB table keep schema in a
+    catalog/metastore (or Delta-style transaction log) instead and pin
+    mergeSchema off for the steady-state read path.
+    """
+    import os
+
+    gen_dir = os.path.join(_TMP, f"schema_evo_{os.path.basename(sf_dir.rstrip('/'))}")
+    o = load(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", F.lit("v1").alias("generation")
+    )
+    evolved = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("v2").alias("generation"),
+        F.col("o_totalprice").alias("total_price"),  # the added column
+    )
+    base.write.mode("overwrite").parquet(os.path.join(gen_dir, "gen=1"))
+    evolved.write.mode("overwrite").parquet(os.path.join(gen_dir, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(gen_dir, "gen=1"), os.path.join(gen_dir, "gen=2")
+    )
+    return merged.groupBy("generation").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("total_price").isNull().cast("long")).alias("n_null_new_col"),
+        F.round(
+            F.coalesce(F.sum(F.col("total_price").cast("decimal(18,2)")), F.lit(0))
+            .cast("double"),
+            2,
+        ).alias("sum_new_col"),
+    )

@@ -155,3 +155,26 @@ def test_csv_malformed_counts_exact(spark):
     assert r.n_corrupt == 12
     assert r.n_clean == 500
     assert r.n_dropmalformed_rows == 500
+
+
+def test_schema_evolution_backfills_nulls(spark):
+    """mergeSchema must surface the added column as NULL for every v1 row
+    and preserve all rows from both generations."""
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+    from tests.conftest import SF_DIR
+
+    load_all_modules()
+    rows = {
+        r.generation: r
+        for r in QUERIES["source_schema_evolution"].fn(spark, SF_DIR).collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    n_even = o.where(F.col("o_orderkey") % 2 == 0).count()
+    n_odd = o.where(F.col("o_orderkey") % 2 == 1).count()
+    assert rows["v1"].n_rows == n_even and rows["v1"].n_null_new_col == n_even
+    assert rows["v1"].sum_new_col == 0.0
+    assert rows["v2"].n_rows == n_odd and rows["v2"].n_null_new_col == 0
+    assert rows["v2"].sum_new_col > 0

@@ -233,3 +233,39 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sum_new_col"),
     )
+
+
+@register("sink_dynamic_partition_overwrite", oracle=None)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: with partitionOverwriteMode=dynamic,
+    an INSERT OVERWRITE only replaces the partitions present in the
+    incoming data — the idempotent daily-refresh pattern (re-run a day's
+    pipeline without touching the other 364 partitions; STATIC mode would
+    wipe the whole table).
+
+    Rows-only (synthesized two-step write); tests/test_sources.py pins
+    that the rewritten partition changed and all others are bit-stable.
+    """
+    import os
+
+    tbl = os.path.join(_TMP, f"dyn_overwrite_{os.path.basename(sf_dir.rstrip('/'))}")
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(tbl)
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # refresh ONLY the 'click' partition, with values doubled
+        refreshed = (
+            e.where(F.col("event_type") == "click")
+            .withColumn("value", F.round(F.col("value") * 2, 2))
+        )
+        refreshed.write.mode("overwrite").partitionBy("event_type").parquet(tbl)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    back = spark.read.parquet(tbl)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )

@@ -178,3 +178,47 @@ def test_schema_evolution_backfills_nulls(spark):
     assert rows["v1"].sum_new_col == 0.0
     assert rows["v2"].n_rows == n_odd and rows["v2"].n_null_new_col == 0
     assert rows["v2"].sum_new_col > 0
+
+
+def test_dynamic_partition_overwrite_touches_only_target(spark):
+    """After the dynamic overwrite of the 'click' partition (values x2),
+    click totals double and every other partition is unchanged."""
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+    from tests.conftest import SF_DIR
+
+    load_all_modules()
+    got = {
+        r.event_type: (r.n_rows, r.value_cents)
+        for r in QUERIES["sink_dynamic_partition_overwrite"].fn(spark, SF_DIR).collect()
+    }
+    orig = {
+        r.event_type: (r.n, r.cents)
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    for etype, (n, cents) in orig.items():
+        if etype == "click":
+            assert got[etype][0] == n
+            # doubled-then-rounded cents: recompute exactly
+            doubled = (
+                load(spark, SF_DIR, "events")
+                .where(F.col("event_type") == "click")
+                .select(
+                    F.sum(
+                        F.round(F.round(F.col("value") * 2, 2) * 100).cast("long")
+                    ).alias("c")
+                )
+                .collect()[0]
+                .c
+            )
+            assert got[etype][1] == doubled
+        else:
+            assert got[etype] == (n, cents), etype

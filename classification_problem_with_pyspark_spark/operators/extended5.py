@@ -1738,3 +1738,46 @@ def relational_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN monthly ON monthly.m = months.m
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT type (Spark 4): semi-structured ingestion without a schema
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_variant_suite",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS n_missing_path
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4): parse_json once into the binary
+    semi-structured type, then typed path extraction (`v:k`,
+    variant_get) — the schema-on-read path that replaces repeated string
+    re-parsing (get_json_object re-tokenizes the text per call; VARIANT
+    parses once and navigates a binary encoding).
+
+    Output is plain integers so the DuckDB oracle (json_extract over the
+    same props) hash-matches; the VARIANT value itself never crosses the
+    comparison boundary. Missing paths return NULL on both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.expr("CAST(v:k AS BIGINT)")
+    missing = F.expr("variant_get(v, '$.missing', 'string')")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        F.sum(missing.isNull().cast("long")).alias("n_missing_path"),
+    )

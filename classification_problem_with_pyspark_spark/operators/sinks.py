@@ -269,3 +269,36 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("n_rows"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+@register("source_python_datasource", oracle=None)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 DataSource API): a registered
+    `synthetic_events` format whose reader plans 8 partitions and
+    generates each shard worker-side — the public extension point for
+    Python-readable systems (REST pages, custom formats) as first-class
+    parallel sources (sources/pydatasource.py).
+
+    Rows-only (no pre-registered view); tests/test_sources.py pins exact
+    counts and the multiplicative-hash value sums, and asserts the scan
+    really ran with 8 input partitions.
+    """
+    from classification_problem_with_pyspark_spark.sources.pydatasource import (
+        SyntheticEventsSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticEventsSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 4000)
+        .option("n_parts", 8)
+        .load()
+    )
+    return df.groupBy("category").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("part_id").alias("n_parts_touched"),
+        F.sum("value").alias("value_sum"),
+    )

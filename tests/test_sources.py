@@ -222,3 +222,23 @@ def test_dynamic_partition_overwrite_touches_only_target(spark):
             assert got[etype][1] == doubled
         else:
             assert got[etype] == (n, cents), etype
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """The custom Python data source must produce exactly the derived
+    rows, across all 8 planned partitions."""
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+    from tests.conftest import SF_DIR
+
+    load_all_modules()
+    rows = {
+        r.category: r
+        for r in QUERIES["source_python_datasource"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {f"cat_{i}" for i in range(5)}
+    assert sum(r.n_rows for r in rows.values()) == 4000
+    for cat, r in rows.items():
+        i0 = int(cat.split("_")[1])
+        expected = sum((i * 2654435761) % 1000 for i in range(i0, 4000, 5))
+        assert r.value_sum == expected, cat
+    assert max(r.n_parts_touched for r in rows.values()) == 8

@@ -1781,3 +1781,90 @@ def scalar_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("k_max"),
         F.sum(missing.isNull().cast("long")).alias("n_missing_path"),
     )
+
+
+# ---------------------------------------------------------------------------
+# String collations (Spark 4): case-insensitive semantics without lower()
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_collation_suite",
+    oracle="""
+    SELECT lower(o_orderpriority) AS priority_ci,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN lower(o_orderstatus) = 'o' THEN 1 ELSE 0 END) AS n_open_ci
+    FROM orders
+    GROUP BY lower(o_orderpriority)
+    """,
+)
+def scalar_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated string semantics (Spark 4): grouping and equality under
+    UNICODE_CI collation — case-insensitive comparisons carried by the
+    TYPE instead of wrapping every expression in lower() (at 100 TB,
+    collation-aware grouping also keeps statistics and pushdown aware of
+    the real key domain).
+
+    The oracle expresses the identical semantics with lower(); the output
+    key is lower-cased on both engines so the hash compares the VALUES,
+    not the collation metadata.
+    """
+    o = load(spark, sf_dir, "orders")
+    ci = F.expr("o_orderpriority COLLATE UNICODE_CI")
+    status_ci = F.expr("o_orderstatus COLLATE UNICODE_CI")
+    return (
+        o.groupBy(ci.alias("pr"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(status_ci == "o", 1).otherwise(0)).alias("n_open_ci"),
+        )
+        .select(
+            F.lower(F.col("pr").cast("string")).alias("priority_ci"),
+            "n_orders",
+            "n_open_ci",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_sql_scalar",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 1.08, 2) AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS taxed_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`): the
+    body is INLINED into the plan by Catalyst — full codegen, pushdown
+    through it, zero Python boundary; the right tool for shared business
+    logic (contrast `udf_row_legacy`, which black-boxes the expression).
+
+    The oracle applies the same expression textually — proving the UDF is
+    semantically transparent.
+    """
+    from classification_problem_with_pyspark_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION with_tax(p DOUBLE) "
+        "RETURNS DOUBLE RETURN ROUND(p * 1.08, 2)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(with_tax(o_totalprice) AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS taxed_total
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

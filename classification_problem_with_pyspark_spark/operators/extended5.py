@@ -1868,3 +1868,65 @@ def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: local peak detection on the daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_detection",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT event_type, day, c,
+               LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS prev_c,
+               LEAD(c) OVER (PARTITION BY event_type ORDER BY day) AS next_c
+        FROM daily
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           c AS n_events,
+           (c > prev_c AND c > next_c) AS is_peak,
+           (c < prev_c AND c < next_c) AS is_trough
+    FROM flagged
+    WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peaks/troughs in the per-type daily event series (strictly
+    greater/less than both neighbors) — the base signal of burst and
+    anomaly monitors, composable with `events_anomaly_mad` for severity.
+
+    Windows run over the AGGREGATED daily series (days×types rows),
+    partitioned per type; integer comparisons only. Boundary days (no
+    neighbor) are excluded identically on both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    flagged = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.lag("c").over(w).alias("prev_c"),
+        F.lead("c").over(w).alias("next_c"),
+    ).where(F.col("prev_c").isNotNull() & F.col("next_c").isNotNull())
+    return flagged.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("n_events"),
+        ((F.col("c") > F.col("prev_c")) & (F.col("c") > F.col("next_c"))).alias(
+            "is_peak"
+        ),
+        ((F.col("c") < F.col("prev_c")) & (F.col("c") < F.col("next_c"))).alias(
+            "is_trough"
+        ),
+    )

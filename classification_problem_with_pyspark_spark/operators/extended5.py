@@ -1930,3 +1930,115 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_trough"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data quality: Benford first-digit profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_benford_profile",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS d
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT d AS first_digit,
+           COUNT(*) AS n_values,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM digits), 6) AS observed_share,
+           ROUND(log10(1.0 + 1.0 / d), 6) AS benford_expected
+    FROM digits
+    GROUP BY d
+    """,
+)
+def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the classic
+    fabricated-data / unit-mixing detector: natural multiplicative data
+    follows P(d)=log10(1+1/d); flat or spiked distributions flag
+    synthetic or truncated values.
+
+    First digits come from exact integer cents (string of a long — no
+    float formatting ambiguity); shares divide exact counts; expected
+    values are the same closed form on both engines. One integer groupBy
+    over 9 keys, map-side partial.
+    """
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("d")
+    )
+    total = digits.agg(F.count("*").alias("n_total"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count("*").alias("n_values"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n_values",
+            F.round(F.col("n_values").cast("double") / F.col("n_total"), 6).alias(
+                "observed_share"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_expected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: adjacent word-bigram frequencies (BPE-merge statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_word_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bigrams AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks) x
+    ),
+    counted AS (
+        SELECT bigram, COUNT(*) AS cnt FROM bigrams GROUP BY bigram
+    )
+    SELECT bigram, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rank
+    FROM counted
+    QUALIFY rank <= 15
+    """,
+)
+def llm_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 adjacent word bigrams across the corpus — the pair-count
+    statistic that drives one BPE merge step (most frequent adjacent pair
+    becomes the next merge) and collocation mining.
+
+    Bigrams are built JVM-side with the same sequence→slice lambda shape
+    as `llm_decontaminate` (no position self-join); the only fact-sized
+    shuffle is the (bigram → count) aggregation, and ranking runs over
+    the aggregated pair vocabulary with a total (cnt DESC, bigram) order.
+    """
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    # filter first: Spark's sequence(1, 0) DESCENDS, so guard-by-
+    # greatest would fabricate a null bigram for 1-token docs
+    bigrams = (
+        d.select(F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(t[i - 1], ' ', t[i]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    counted = bigrams.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 15)
+        .select("bigram", "cnt", "rank")
+    )

@@ -385,3 +385,59 @@ def test_random_frame_agg_matches_duckdb(agg, part, prec, foll, unbounded_start,
     """
     ok, msg = compare("frame_fuzz", df, oracle, oracle_con)
     assert ok, f"{agg}/{part}/{start_sql}..{end_sql}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Surface 7: random ROLLUP / CUBE / GROUPING SETS
+# ---------------------------------------------------------------------------
+
+_GS_DIMS = ("o_orderpriority", "o_orderstatus", "o_orderdate_year")
+
+
+@pytest.mark.fuzz
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    kind=st.sampled_from(("rollup", "cube")),
+    d1=st.sampled_from(_GS_DIMS),
+    d2=st.sampled_from(_GS_DIMS),
+    measure=st.sampled_from(("o_custkey", "o_orderkey")),
+)
+def test_random_grouping_sets_match_duckdb(kind, d1, d2, measure, spark, oracle_con):
+    """Random ROLLUP/CUBE over derived dims with GROUPING() markers (the
+    markers disambiguate subtotal NULLs from genuine NULL keys, making
+    every row hash-identifiable)."""
+    if d1 == d2:
+        d2 = _GS_DIMS[(_GS_DIMS.index(d1) + 1) % len(_GS_DIMS)]
+    base = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderpriority"),
+        F.col("o_orderstatus"),
+        F.year("o_orderdate").alias("o_orderdate_year"),
+        F.col("o_custkey"),
+        F.col("o_orderkey"),
+    )
+    grouped = getattr(base, kind)(d1, d2)
+    df = grouped.agg(
+        F.count("*").alias("n"),
+        F.sum(measure).alias("msum"),
+        F.grouping(d1).alias("g1"),
+        F.grouping(d2).alias("g2"),
+    )
+    oracle = f"""
+    WITH base AS (
+        SELECT o_orderpriority, o_orderstatus,
+               EXTRACT(year FROM o_orderdate) AS o_orderdate_year,
+               o_custkey, o_orderkey
+        FROM orders
+    )
+    SELECT {d1}, {d2},
+           COUNT(*) AS n, SUM({measure}) AS msum,
+           GROUPING({d1}) AS g1, GROUPING({d2}) AS g2
+    FROM base
+    GROUP BY {kind.upper()} ({d1}, {d2})
+    """
+    ok, msg = compare("gs_fuzz", df, oracle, oracle_con)
+    assert ok, f"{kind}/{d1}/{d2}/{measure}: {msg}"

@@ -2042,3 +2042,71 @@ def llm_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 15)
         .select("bigram", "cnt", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join at scale: bucket-and-refine (equi-join, no nested loop)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    WITH intervals AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS w_start,
+               MIN(epoch_us(ts)) + 7200000000 AS w_end
+        FROM events
+        GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    )
+    SELECT i.user_id,
+           COUNT(*) AS n_in_window_events,
+           COUNT(DISTINCT i.w_start) AS n_windows_hit
+    FROM intervals i
+    JOIN events e
+      ON e.user_id = i.user_id
+     AND epoch_us(e.ts) >= i.w_start
+     AND epoch_us(e.ts) < i.w_end
+    GROUP BY i.user_id
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×point range join by BUCKET-AND-REFINE: each per-(user,
+    day) 2-hour activity window explodes into the hour buckets it covers,
+    points carry their single hour bucket, and the join is a plain
+    EQUI-join on (user_id, bucket) refined by the exact range predicate —
+    no nested-loop join anywhere (asserted in tests/test_plans.py).
+
+    This is how interval×interval/point joins survive 100 TB: the
+    nested-loop form compares every pair per user; the bucketed form
+    shuffles both sides once on an equi-key whose fan-out is
+    interval_span/bucket_width (≤3 here). Each (point, interval) pair
+    meets exactly once because a point has ONE bucket. The oracle states
+    the same join in its naive range form — results must be identical.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    us = 3_600_000_000  # 1h bucket in µs
+    intervals = (
+        e.groupBy("user_id", "day")
+        .agg(F.min("t").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + 7_200_000_000)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("w_start") / us).cast("long"),
+                    ((F.col("w_end") - 1) / us).cast("long"),
+                )
+            ),
+        )
+    )
+    points = e.select("user_id", "t", (F.col("t") / us).cast("long").alias("bucket"))
+    joined = intervals.join(points, ["user_id", "bucket"]).where(
+        (F.col("t") >= F.col("w_start")) & (F.col("t") < F.col("w_end"))
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_in_window_events"),
+        F.countDistinct("w_start").alias("n_windows_hit"),
+    )

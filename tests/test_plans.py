@@ -289,3 +289,14 @@ def test_multi_distinct_plans_single_expand(spark):
     Expand node (single shuffle round), not separate aggregation jobs."""
     plan = formatted_plan(QUERIES["agg_multi_distinct"].fn(spark, SF_DIR))
     assert plan.count("Expand") >= 1, plan
+
+
+def test_range_bucketed_join_is_equi_not_nested_loop(spark):
+    """join_range_bucketed must plan a hash/sort-merge EQUI-join on
+    (user_id, bucket) — never a nested-loop — that's the whole point of
+    the bucket-and-refine rewrite."""
+    plan = formatted_plan(QUERIES["join_range_bucketed"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan

@@ -2110,3 +2110,69 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_in_window_events"),
         F.countDistinct("w_start").alias("n_windows_hit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (merge_asof tolerance semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+               MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click_t
+        FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           SUM(CASE WHEN last_click_t IS NOT NULL
+                     AND t - last_click_t <= 3600000000
+                    THEN 1 ELSE 0 END) AS n_attributed,
+           SUM(CASE WHEN last_click_t IS NULL
+                     OR t - last_click_t > 3600000000
+                    THEN 1 ELSE 0 END) AS n_unattributed
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`): each
+    purchase matches its most recent prior click only if the gap is ≤1 h,
+    otherwise it stays unattributed — the variant `join_asof_events`
+    (unbounded lookback) silently over-attributes.
+
+    Same union-and-window plan as the base as-of (one per-user window,
+    bounded state, no join at all); the tolerance is one integer
+    comparison on exact epoch-µs. Per-user attribution counts keep the
+    output bounded.
+    """
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.unix_micros("ts")
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        t.alias("t"),
+        F.max(F.when(F.col("event_type") == "click", t)).over(w).alias("last_click_t"),
+    ).where(F.col("event_type") == "purchase")
+    within = F.col("last_click_t").isNotNull() & (
+        F.col("t") - F.col("last_click_t") <= 3_600_000_000
+    )
+    return tagged.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(within.cast("long")).alias("n_attributed"),
+        F.sum((~within).cast("long")).alias("n_unattributed"),
+    )

@@ -2176,3 +2176,132 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(within.cast("long")).alias("n_attributed"),
         F.sum((~within).cast("long")).alias("n_unattributed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling windowed correlation (frame sums of exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1
+    ),
+    framed AS (
+        SELECT day, x, y,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+               SUM(x * y) OVER w AS sxy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
+               AS rolling_corr_7d
+    FROM framed
+    WHERE n = 7
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day correlation between daily click and purchase volumes
+    — the co-movement monitor statistic — composed entirely from FRAME
+    SUMS of exact integer moments (Σx Σy Σxx Σyy Σxy over ROWS 6
+    PRECEDING): no corr() aggregate, no self-join, one window pass.
+
+    The windows run over the aggregated daily series; integer frame sums
+    are order-exact, and the single double formula is the shared
+    `agg_corr_covar` expression tree. Partial frames (first 6 days) are
+    excluded identically on both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    framed = daily.select(
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    ).where(F.col("n") == 7)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    denom = F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+    )
+    return framed.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        n.alias("n_days"),
+        F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6).alias(
+            "rolling_corr_7d"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford goodness-of-fit (chi-square statistic, closed form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_benford_chi2",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+        SELECT d, COUNT(*) AS o FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(o) AS n FROM obs)
+    SELECT CAST(tot.n AS BIGINT) AS n_values,
+           ROUND(SUM(POW(obs.o - tot.n * log10(1.0 + 1.0 / obs.d), 2)
+                     / (tot.n * log10(1.0 + 1.0 / obs.d))), 6) AS chi2_stat,
+           8 AS dof
+    FROM obs, tot
+    GROUP BY tot.n
+    """,
+)
+def agg_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the first-digit distribution against
+    Benford's law — `agg_benford_profile` reduced to one decision
+    statistic (compare to χ²₈ critical values to flag the table).
+
+    The statistic is a closed form over the 9 observed counts: exact
+    integer counts in, nine double terms out, identical expression trees
+    both engines.
+    """
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    obs = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("o"))
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2_stat"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_values"),
+            "chi2_stat",
+            F.lit(8).alias("dof"),
+        )
+    )

@@ -92,8 +92,8 @@ def scalar_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(log10(l_extendedprice), 6) AS price_log10,
            ROUND(pow(l_discount, 2), 6) AS disc_sq,
            abs(l_quantity - 25) AS qty_dev,
-           floor(l_extendedprice / 1000) AS price_k_floor,
-           ceil(l_extendedprice / 1000) AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
            CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
     FROM lineitem
     """,

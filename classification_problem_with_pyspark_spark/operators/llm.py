@@ -745,6 +745,103 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("llm_similarity_topk_sharded", oracle=None)
+def llm_similarity_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-candidate BLAS top-k — the 100-TB materialization of the
+    shard promise in ``llm_similarity_topk``'s docstring (VERDICT r1 §7).
+
+    ``llm_similarity_topk`` loads the FULL candidate matrix in every
+    Python worker (O(N) memory per worker — fine locally, a scale-killer
+    at 100 TB). Here the candidate side is sharded by IVF cell instead:
+
+    1. a seeded KMeans coarse quantizer assigns every vector to a cell
+       (identical quantizer/seed to ``llm_similarity_ivf``);
+    2. every query probes its nprobe=2 nearest cells (8-row broadcast
+       centroid join — free);
+    3. ``probes.groupBy(cell).cogroup(candidates.groupBy(cell))
+       .applyInPandas`` computes a blocked float64 matrix product PER
+       CELL — each worker materializes only |cell| ≈ N/k candidate rows,
+       never the corpus, and cells are the shuffle key so the index
+       partitions across executors;
+    4. a JVM window merges each query's per-cell hits into a global
+       top-3 on (sim DESC, nid ASC).
+
+    Same candidate set as ``llm_similarity_ivf`` (recall@3 ≈ 0.58 on this
+    random-vector worst case, gated in tests/test_ann_quality.py); the
+    BLAS-per-cell kernel replaces the per-pair HOF dot product. KMeans →
+    not SQL-expressible → rows-only driver check.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell").fit(e)
+    assigned = model.transform(e).select("vec_id", "embedding", "cell")
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = F.broadcast(spark.createDataFrame(centers, "cell_c int, centroid array<double>"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), "centroid", lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell_c"))
+    probes = (
+        assigned.crossJoin(cdf)
+        .select("vec_id", "embedding", "cell_c", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= 2)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("emb_a"),
+            F.col("cell_c").alias("cell"),
+        )
+    )
+
+    def cell_topk(probe_pdf: pd.DataFrame, cand_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "nid": [], "cosine_sim": []}).astype(
+            {"qid": "int64", "nid": "int64", "cosine_sim": "float64"}
+        )
+        if probe_pdf.empty or cand_pdf.empty:
+            return empty
+        C = np.stack(cand_pdf["embedding"].to_numpy()).astype(np.float64)
+        cnorm = np.sqrt((C * C).sum(axis=1))
+        cid = cand_pdf["vec_id"].to_numpy()
+        P = np.stack(probe_pdf["emb_a"].to_numpy()).astype(np.float64)
+        pnorm = np.sqrt((P * P).sum(axis=1))
+        qids = probe_pdf["qid"].to_numpy()
+        sims = np.round((P @ C.T) / np.outer(pnorm, cnorm), 6)
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(qids):
+            mask = cid != qid  # exclude self-match by id
+            nid_m, s_m = cid[mask], sims[i][mask]
+            idx = np.lexsort((nid_m, -s_m))[:3]  # per-cell top-3; merged below
+            out_q.extend([qid] * len(idx))
+            out_n.extend(nid_m[idx])
+            out_s.extend(s_m[idx])
+        return pd.DataFrame({"qid": out_q, "nid": out_n, "cosine_sim": out_s})
+
+    cell_hits = (
+        probes.groupBy("cell")
+        .cogroup(assigned.groupBy("cell"))
+        .applyInPandas(cell_topk, schema="qid long, nid long, cosine_sim double")
+    )
+    # a nid lives in exactly one cell, so (qid, nid) is already unique
+    # across the nprobe cells — the merge is a pure window top-3.
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return (
+        cell_hits.withColumn("neighbor_rank", F.row_number().over(w))
+        .where(F.col("neighbor_rank") <= 3)
+    )
+
+
 @register(
     "llm_tfidf",
     oracle="""

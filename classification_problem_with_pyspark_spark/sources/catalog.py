@@ -128,18 +128,70 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     if table not in SCHEMAS:
         raise KeyError(f"unknown table {table!r}; known: {TABLES}")
-    if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
-        # default (PARQUET_TYPE_ILLEGAL). Read it as int64 nanos and
-        # convert to µs TimestampType — values carry only µs precision so
-        # the truncation is lossless, and DuckDB truncates identically
-        # (FIXTURES.md events; SURVEY.md §7.5).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path_for(sf_dir, table))
-        from pyspark.sql import functions as F
+    # The testdata's timestamp physical encoding has DRIFTED between
+    # generations: events.ts shipped as parquet TIMESTAMP(NANOS) (which
+    # Spark 4 refuses by default — PARQUET_TYPE_ILLEGAL — unless read as
+    # int64 via nanosAsLong), then as timestamp[us] UTC-adjusted; orders /
+    # lineitem date columns currently ship as timestamp[us] NTZ. Never
+    # assume the unit or adjustment: set the legacy conf so a nanos file
+    # loads at all, read, then coerce each column to the catalog type based
+    # on the dtype Spark ACTUALLY inferred. Values carry only µs precision
+    # in every generation, so nanos→µs truncation is lossless, and the
+    # session tz is pinned UTC so NTZ→TZ is a pure type relabel (no instant
+    # shift) — DuckDB sees identical wall-clock values (SURVEY.md §7.5).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path_for(sf_dir, table))
+    from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path_for(sf_dir, table))
+    for field in SCHEMAS[table]:
+        if field.name not in df.columns or not isinstance(field.dataType, T.TimestampType):
+            continue
+        actual = df.schema[field.name].dataType
+        if isinstance(actual, T.LongType):
+            # nanos-as-long file: integer nanos → µs TimestampType.
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+        elif isinstance(actual, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+        # already TimestampType: pass through untouched.
+    return df
+
+
+def assert_catalog_schemas(spark: SparkSession, sf_dir: str) -> None:
+    """Schema-drift tripwire (round-2, VERDICT r1 item 2).
+
+    Round 1 died because regenerated testdata silently changed events.ts
+    from INT64-nanos to timestamp[us] and the loader assumed the old
+    encoding — 52 query keys + the driver bench crashed. This assertion
+    compares what ``load()`` actually yields against the catalog's declared
+    SCHEMAS for every table and fails with a per-column diff, so any future
+    regeneration that ``load()``'s coercions can't absorb is caught at
+    session start / test start instead of deep inside an operator.
+    """
+    problems: list[str] = []
+    for t in TABLES:
+        actual = load(spark, sf_dir, t).schema
+        want = SCHEMAS[t]
+        if actual == want:
+            continue
+        a_by_name = {f.name: f.dataType for f in actual}
+        w_by_name = {f.name: f.dataType for f in want}
+        if list(a_by_name) != list(w_by_name):
+            problems.append(
+                f"{t}: column set/order drift actual={list(a_by_name)} catalog={list(w_by_name)}"
+            )
+        for name in w_by_name:
+            if name in a_by_name and a_by_name[name] != w_by_name[name]:
+                problems.append(
+                    f"{t}.{name}: actual={a_by_name[name].simpleString()} "
+                    f"catalog={w_by_name[name].simpleString()}"
+                )
+    if problems:
+        raise AssertionError(
+            "testdata schema drift vs catalog SCHEMAS (update catalog.py "
+            "SCHEMAS or teach load() the new encoding):\n  " + "\n  ".join(problems)
+        )
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

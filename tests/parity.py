@@ -6,6 +6,12 @@ EXACT values — the engine's rule is that queries round order-sensitive
 float aggregates in-query on both sides, so outputs must be bit-identical.
 A tolerance-only match is reported as a WARNING (risky under the driver's
 value-hash), not a pass.
+
+TYPE-STRICT (round-2 fix): the driver hashes canonical value *reprs*, so
+``68`` (Spark BIGINT) vs ``68.0`` (DuckDB DOUBLE) is a driver FAIL even
+though Python ``68 == 68.0`` is True. Every value is therefore normalized
+to a ``(type_tag, canonical)`` pair — int vs float vs bool vs str can never
+silently compare equal here while failing the driver's hash.
 """
 
 from __future__ import annotations
@@ -19,34 +25,50 @@ MISMATCH_PREVIEW = 5
 
 
 def _norm_value(v: Any) -> Any:
+    """Normalize to a (type_tag, canonical) pair; containers recurse."""
+    if v is None:
+        return ("null", None)
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, Decimal):
-        return float(v)
+        return ("float", float(v))
+    if isinstance(v, float):
+        return ("float", "NaN" if math.isnan(v) else v)
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+        return ("ts", v.replace(tzinfo=None).isoformat(timespec="microseconds"))
     if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    if isinstance(v, list):
-        return tuple(_norm_value(x) for x in v)
-    return v
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("array", tuple(_norm_value(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, _norm_value(x)) for k, x in v.items())))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bin", bytes(v).hex())
+    return ("str", str(v)) if not isinstance(v, str) else ("str", v)
 
 
 def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_value(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    out.sort(key=lambda t: tuple((x[1] is None, x[0], str(x[1])) for x in t))
     return out
 
 
 def _close(a: Any, b: Any, rel: float = 1e-7) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        return math.isclose(a, b, rel_tol=rel, abs_tol=1e-9)
+    """Tolerance compare over normalized (tag, value) pairs — diagnostics only."""
+    ta, va = a if isinstance(a, tuple) and len(a) == 2 else ("?", a)
+    tb, vb = b if isinstance(b, tuple) and len(b) == 2 else ("?", b)
+    if ta in ("int", "float") and tb in ("int", "float"):
+        if isinstance(va, str) or isinstance(vb, str):  # NaN sentinel
+            return va == vb
+        return math.isclose(float(va), float(vb), rel_tol=rel, abs_tol=1e-9)
     return a == b
 
 
 def compare(name: str, spark_df, oracle_sql: str, con) -> tuple[bool, str]:
-    """Returns (ok, message). ok=True only on exact match."""
+    """Returns (ok, message). ok=True only on exact, type-strict match."""
     srows = [tuple(r) for r in spark_df.collect()]
     scols = list(spark_df.columns)
     cur = con.execute(oracle_sql)
@@ -63,7 +85,7 @@ def compare(name: str, spark_df, oracle_sql: str, con) -> tuple[bool, str]:
     if s == o:
         return True, f"{name}: OK ({len(s)} rows)"
 
-    # Diagnose: exact mismatch — is it within float tolerance?
+    # Diagnose: exact mismatch — tolerance-only or type-only drift?
     diffs = [(a, b) for a, b in zip(s, o) if a != b]
     tol_ok = all(
         len(a) == len(b) and all(_close(x, y) for x, y in zip(a, b)) for a, b in diffs
@@ -71,7 +93,7 @@ def compare(name: str, spark_df, oracle_sql: str, con) -> tuple[bool, str]:
     preview = "; ".join(f"spark={a} oracle={b}" for a, b in diffs[:MISMATCH_PREVIEW])
     if tol_ok:
         return False, (
-            f"{name}: WARNING values differ only within float tolerance "
-            f"({len(diffs)} rows) — WOULD FAIL the driver's hash. {preview}"
+            f"{name}: WARNING values differ only by type or within float "
+            f"tolerance ({len(diffs)} rows) — WOULD FAIL the driver's hash. {preview}"
         )
     return False, f"{name}: VALUE MISMATCH ({len(diffs)} rows differ). {preview}"

@@ -242,3 +242,16 @@ def test_python_datasource_partitioned_and_deterministic(spark):
         expected = sum((i * 2654435761) % 1000 for i in range(i0, 4000, 5))
         assert r.value_sum == expected, cat
     assert max(r.n_parts_touched for r in rows.values()) == 8
+
+
+def test_catalog_schema_drift_tripwire(spark):
+    """Round-2 tripwire (VERDICT r1): regenerated testdata must never again
+    silently strand half the registry. load() at every SF must yield exactly
+    the catalog's declared SCHEMAS — any parquet re-encoding load() can't
+    absorb fails here with a per-column diff."""
+    from classification_problem_with_pyspark_spark.sources.catalog import (
+        assert_catalog_schemas,
+    )
+
+    for sf_dir in (SF_DIR_SMOKE, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")):
+        assert_catalog_schemas(spark, sf_dir)

@@ -263,7 +263,10 @@ def ml_train_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "one_vs_rest_svc",
             OneVsRest(
-                classifier=LinearSVC(maxIter=10, regParam=0.01),
+                # 10 classes × maxIter SVC fits: 5 iters/class is the cost
+                # knob — OVR is here for the binary→multiclass lift shape,
+                # not SVC convergence.
+                classifier=LinearSVC(maxIter=5, regParam=0.01),
                 featuresCol="features",
                 labelCol="label",
             ),

@@ -70,7 +70,10 @@ def ml_cluster_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _features(spark, sf_dir).cache()
     bkm = BisectingKMeans(k=5, seed=SEED, featuresCol="features").fit(df)
     pca8 = PCA(k=8, inputCol="features", outputCol="pca8").fit(df).transform(df)
-    gmm = GaussianMixture(k=5, seed=SEED, featuresCol="pca8").fit(pca8)
+    # maxIter=25 (default 100): EM on a few hundred rows converges in well
+    # under 25 rounds; the default spends ~7 s of pure per-iteration job
+    # overhead at the driver's gate SF for identical assignments.
+    gmm = GaussianMixture(k=5, seed=SEED, featuresCol="pca8", maxIter=25).fit(pca8)
     a = (
         bkm.transform(df)
         .groupBy(F.lit("bisecting_kmeans").alias("algo"), F.col("prediction").alias("cluster"))

@@ -1072,3 +1072,156 @@ def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("vec_id").alias("with_embedding"),
         )
     )
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com from 10.0.'
+                    || CAST(doc_id % 200 AS VARCHAR) || '.7 ref 90000'
+                    || CAST(doc_id AS VARCHAR) AS t
+        FROM documents
+    ), scrubbed AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        FROM aug
+    ), s2 AS (
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(t1, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ips,
+               regexp_replace(t1, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS t2
+        FROM scrubbed
+    ), s3 AS (
+        SELECT doc_id, n_emails, n_ips,
+               len(regexp_extract_all(t2, '\b\d{5,}\b')) AS n_longnums,
+               regexp_replace(t2, '\b\d{5,}\b', '<NUM>', 'g') AS t3
+        FROM s2
+    )
+    SELECT doc_id, n_emails, n_ips, n_longnums,
+           md5(t3) AS scrubbed_md5,
+           length(t3) AS scrubbed_len
+    FROM s3
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (training-data pipeline mandate): count and
+    replace emails, IPv4 addresses, and long digit runs with typed
+    placeholder tokens, in that order (emails first — their local parts
+    contain digits that must not be double-counted as numbers).
+
+    The synthetic corpus carries no PII, so BOTH sides append the same
+    deterministic doc_id-derived contact line before scrubbing (in-query
+    fixture augmentation, same pattern as source_csv_malformed's staged
+    fixture) — every regex demonstrably fires on every row and the
+    redacted-text md5 proves byte-identical replacement semantics between
+    Spark's Java regex and DuckDB's RE2 for this pattern class.
+
+    Scale: pure per-row JVM string ops (regexp_count/regexp_replace are
+    codegen'd) — no shuffle, no UDF; at 100 TB this runs scan-speed and
+    pushes nothing to Python.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+    longnum = r"\b\d{5,}\b"
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 ref 90000"),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    s1 = aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email)).alias("n_emails"),
+        F.regexp_replace("t", email, "<EMAIL>").alias("t1"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "n_emails",
+        F.regexp_count("t1", F.lit(ipv4)).alias("n_ips"),
+        F.regexp_replace("t1", ipv4, "<IP>").alias("t2"),
+    )
+    s3 = s2.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        F.regexp_count("t2", F.lit(longnum)).alias("n_longnums"),
+        F.regexp_replace("t2", longnum, "<NUM>").alias("t3"),
+    )
+    return s3.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_longnums",
+        F.md5("t3").alias("scrubbed_md5"),
+        F.length("t3").alias("scrubbed_len"),
+    )
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+        FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ), dfreq AS (
+        SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_distinct_grams,
+           ROUND(AVG(CASE WHEN df = 1 THEN 1 ELSE 0 END), 6) AS novelty_ratio
+    FROM grams JOIN dfreq USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct word
+    3-grams that appear in NO other document — the corpus-redundancy
+    signal dedup pipelines use to rank which near-dups to keep (high
+    novelty = more unique content). Complements llm_repetition_ratio
+    (within-doc) and llm_ngram_profile (corpus frequency table).
+
+    Shape: split → 3-gram transform (one array expr, no Python) →
+    explode+distinct (one shuffle on (doc_id, gram)) → gram doc-frequency
+    (window over gram — second shuffle) → per-doc mean. Both shuffles key
+    on the gram hash, so skew tracks true gram popularity; at 100 TB the
+    df table is the same partial-agg shape as word-count.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = (
+        w.where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.round(F.avg(F.when(F.col("df") == 1, 1).otherwise(0)), 6).alias(
+                "novelty_ratio"
+            ),
+        )
+    )

@@ -138,3 +138,72 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, byte_len int, byte_mean double, byte_max int, "
         "frame_sample array<long>, resized_16 array<double>",
     )
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling over opaque payload bytes: fixed 64-byte frames on a
+    128-byte stride (every other frame), md5 per frame. The kernel a real
+    video pipeline would run per keyframe, with byte windows standing in
+    for decoded frames (codec-free container)."""
+    import hashlib
+
+    FRAME, STRIDE = 64, 128
+    for pdf in batches:
+        out_id, out_idx, out_off, out_md5 = [], [], [], []
+        for mid, p in zip(pdf["media_id"], pdf["payload"]):
+            data = bytes(p)
+            n = len(data)
+            if n < FRAME:
+                continue
+            k = 0
+            for off in range(0, n - FRAME + 1, STRIDE):
+                out_id.append(mid)
+                out_idx.append(k)
+                out_off.append(off)
+                out_md5.append(hashlib.md5(data[off : off + FRAME]).hexdigest())
+                k += 1
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(out_id, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int64"),
+                "frame_off": pd.Series(out_off, dtype="int64"),
+                "frame_md5": pd.Series(out_md5, dtype="object"),
+            }
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           i AS frame_idx,
+           i * 128 AS frame_off,
+           md5(substr(text, i * 128 + 1, 64)) AS frame_md5
+    FROM documents, UNNEST(generate_series(
+             0, CAST(floor((length(text) - 64) / 128) AS BIGINT))) AS t(i)
+    WHERE length(text) >= 64
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary modality (§2.12 mandate), EXACTLY
+    oracle-checked: mapInPandas slices each payload into 64-byte frames at
+    a 128-byte stride and fingerprints each frame; DuckDB recomputes the
+    identical frames via substr arithmetic (payloads are ASCII text bytes,
+    so byte offsets == character offsets — asserted by the oracle match
+    itself). Unlike multimodal_decode_stub (rows-only), this pins the
+    whole Arrow binary-batch path — batching, offsets, per-frame hashing —
+    to exact values.
+
+    Scale: frames never leave the worker un-aggregated bigger than
+    (id, idx, off, md5) — payload bytes stay inside the Arrow batch; the
+    op is embarrassingly parallel with zero shuffle.
+    """
+    m = _media_table(spark, sf_dir)
+    return (
+        m.select("media_id", "payload")
+        .repartition(32)
+        .mapInPandas(
+            _frame_sample_batches,
+            schema="media_id long, frame_idx long, frame_off long, frame_md5 string",
+        )
+    )

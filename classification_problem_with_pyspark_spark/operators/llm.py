@@ -1225,3 +1225,97 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_sample_hash_stratified",
+    oracle="""
+    WITH rates AS (
+        SELECT * FROM (VALUES ('en', 30), ('de', 80), ('fr', 80),
+                              ('es', 80), ('zh', 80)) AS t(lang, pct)
+    )
+    SELECT doc_id, d.lang, source
+    FROM documents d JOIN rates USING (lang)
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || d.lang), 1, 8))::UBIGINT
+               AS BIGINT) % 100 < pct
+    """,
+)
+def llm_sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sampling — the oracle-checkable twin
+    of llm_sample_stratified (seeded sampleBy). Membership is a PURE
+    FUNCTION of (doc_id, lang): first 32 md5 bits mod 100 against a
+    per-language rate table, so any worker — or any engine — re-derives
+    the same sample with no seed/partitioning state. That re-derivability
+    is why production corpus pipelines prefer hash sampling over seeded
+    Bernoulli at 100 TB: the sample survives repartitioning, engine
+    upgrades, and incremental re-runs unchanged.
+
+    Plan: broadcast 5-row rate table + scan-side filter; no shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    rates = F.broadcast(
+        spark.createDataFrame(
+            [("en", 30), ("de", 80), ("fr", 80), ("es", 80), ("zh", 80)],
+            "lang string, pct int",
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("lang"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        d.join(rates, "lang")
+        .where(bucket < F.col("pct"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "llm_perplexity_proxy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+    ), total AS (
+        SELECT SUM(cnt) AS n FROM tf
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(CAST(cnt AS DOUBLE) / n)), 6) AS cross_entropy
+    FROM tok JOIN tf USING (term) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the cheap perplexity proxy
+    corpus pipelines use for quality filtering (low = stereotyped text,
+    high = rare-token soup; both tails get pruned). Corpus unigram
+    probabilities come from the corpus itself, so the op is two shared
+    shuffles: token explode → term counts (map-side partial agg), then
+    token⋈tf (term-keyed) → per-doc mean of -ln p.
+
+    Parity note: AVG of -ln(p) sums doubles in arbitrary order; at this
+    gate SF the ROUND(,6) absorbs summation-order ulps (same policy as
+    every float aggregate in the suite). The corpus total rides along as
+    a broadcast 1-row cross join on both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("n"))
+    return (
+        tok.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt").cast("double") / F.col("n"))), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )

@@ -302,3 +302,88 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("part_id").alias("n_parts_touched"),
         F.sum("value").alias("value_sum"),
     )
+
+
+@register(
+    "source_binaryfile_media",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS payload_md5,
+           octet_length(encode(text)) AS byte_len
+    FROM documents
+    WHERE doc_id < 40
+    """,
+)
+def source_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the real multimodal ingestion path (§2.12):
+    media lands as FILES on object storage; ``spark.read.format
+    ("binaryFile")`` turns the directory into a DataFrame of (path,
+    modificationTime, length, content) with bytes as an opaque binary
+    column, no codec needed. Here a bounded fixture (docs 0-39, staged
+    once per sf_dir — same bounded-collect posture as
+    source_csv_malformed) round-trips text bytes through real files;
+    doc_id is recovered from the file NAME, and the oracle's md5 over the
+    original table proves byte-lossless ingestion.
+
+    Scale: binaryFile lists + reads files in parallel across executors;
+    per-file content must fit an executor's memory (spark caps single
+    rows), so production tables chunk giant media server-side — the
+    pattern this key pins is path→id parsing + checksum validation at
+    ingest, before payloads enter parquet.
+    """
+    stage = _roundtrip_dir("binmedia", sf_dir)
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    os.makedirs(stage, exist_ok=True)
+    # bounded fixture staging (40 rows) — not a hot path
+    for r in d.select("doc_id", "text").collect():
+        with open(os.path.join(stage, f"doc_{r.doc_id:05d}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").load(stage)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.md5(F.decode("content", "UTF-8")).alias("payload_md5"),
+        F.col("length").cast("long").alias("byte_len"),
+    )
+
+
+@register(
+    "source_text_lines",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           MIN(md5(text)) AS min_text_md5
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (the log/JSONL-adjacent format): write
+    documents as TSV-framed text lines (lang\\tdoc_id\\ttext — corpus text
+    contains no tabs/newlines, which the write would corrupt and the
+    oracle hash would catch), read back with ``spark.read.text``, re-parse
+    with substring_index, and aggregate per language. Proves the text
+    round-trip is lossless and the parse is a pure scan-side projection.
+
+    Scale: text reads split by line across tasks with no schema work;
+    like CSV it has no pushdown/pruning, so the engine treats it as an
+    ingestion edge format and converts to parquet before fact-scale work.
+    """
+    stage = _roundtrip_dir("textlines", sf_dir)
+    d = load(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("\t", F.col("lang"), F.col("doc_id").cast("string"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(stage)
+    back = spark.read.text(stage)
+    parsed = back.select(
+        F.substring_index("value", "\t", 1).alias("lang"),
+        F.substring_index(F.substring_index("value", "\t", 2), "\t", -1).alias("doc_id"),
+        F.substring_index("value", "\t", -1).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min(F.md5("text")).alias("min_text_md5"),
+    )

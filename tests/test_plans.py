@@ -300,3 +300,41 @@ def test_range_bucketed_join_is_equi_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_pii_scrub_is_shuffle_free_jvm_path(spark):
+    """PII redaction must run scan-speed: pure codegen'd string exprs, no
+    shuffle, no Python."""
+    df = QUERIES["llm_pii_scrub"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_frame_sample_single_python_stage_no_shuffle(spark):
+    """Frame sampling is one Arrow mapInPandas stage over a round-robin
+    repartition — payload bytes must cross into Python exactly once and
+    never shuffle by key."""
+    df = QUERIES["multimodal_frame_sample"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # tree node renders as "MapInPandas (N" — the detail section repeats
+    # the name without the paren, so count tree occurrences only
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_hash_stratified_sample_broadcasts_rates(spark):
+    """The rate table is a 5-row broadcast; membership is a scan-side
+    filter — no fact shuffle."""
+    df = QUERIES["llm_sample_hash_stratified"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(doc_id" not in plan, plan
+
+
+def test_perplexity_shares_term_key_shuffles(spark):
+    """Both aggregations key on term/doc hash partitions; the corpus total
+    must ride as a broadcast, never a fact-sized exchange."""
+    df = QUERIES["llm_perplexity_proxy"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -310,3 +310,74 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("o_orderstatus_freqItems").alias("item"),
     )
     return pri.unionByName(st).orderBy("column", "item")
+
+
+@register(
+    "agg_sample_estimate",
+    oracle="""
+    WITH sampled AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev,
+               CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+                     % 10 = 0 AS in_sample
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(rev) AS DOUBLE) AS true_revenue,
+           CAST(SUM(CASE WHEN in_sample THEN rev END) * 10 AS DOUBLE) AS est_revenue,
+           SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS n_sampled,
+           ROUND(CAST(ABS(SUM(CASE WHEN in_sample THEN rev END) * 10 - SUM(rev)) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE) * 100, 4) AS rel_err_pct
+    FROM sampled
+    GROUP BY l_returnflag
+    """,
+)
+def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic hash sampling: a 10%
+    sample selected by md5(orderkey:linenumber) mod 10 estimates per-flag
+    revenue (×10 scale-up), reported NEXT TO the exact value with the
+    measured relative error — the accuracy accounting an AQP layer owes
+    its users.
+
+    Why hash- not Bernoulli-sampled: the sample is a pure key function —
+    re-derivable by any engine/worker (this very oracle re-derives it),
+    stable under repartitioning, and composable across queries (the same
+    10% stratum serves every estimate, so estimates are mutually
+    consistent). At 100 TB the sample predicate evaluates scan-side
+    (one md5 per row, no shuffle), and both sums ride ONE aggregation:
+    a conditional sum, not a second scan. All money math is DECIMAL; the
+    one float division (error ratio) is rounded on both engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    in_sample = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    s = li.select("l_returnflag", rev.alias("rev"), in_sample.alias("in_sample"))
+    true_sum = F.sum("rev")
+    est_sum = F.sum(F.when(F.col("in_sample"), F.col("rev"))) * 10
+    return s.groupBy("l_returnflag").agg(
+        true_sum.cast("double").alias("true_revenue"),
+        est_sum.cast("double").alias("est_revenue"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias("n_sampled"),
+        F.round(
+            F.abs(est_sum - true_sum).cast("double") / true_sum.cast("double") * 100, 4
+        ).alias("rel_err_pct"),
+    )

@@ -479,3 +479,69 @@ def ml_feature_rformula(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.element_at("fv", 1)).cast("double"), 2).alias("sum_qty_term"),
         )
     )
+
+
+@register(
+    "ml_fpgrowth_2itemsets",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT o.o_orderkey, p.p_brand
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (
+        SELECT COUNT(DISTINCT o_orderkey) AS n_baskets FROM baskets
+    ), ones AS (
+        SELECT p_brand AS itemset, COUNT(*) AS freq
+        FROM baskets CROSS JOIN n
+        GROUP BY p_brand, n_baskets
+        HAVING COUNT(*) >= CEIL(0.05 * n_baskets)
+    ), twos AS (
+        SELECT a.p_brand || ',' || b.p_brand AS itemset, COUNT(*) AS freq
+        FROM baskets a
+        JOIN baskets b ON a.o_orderkey = b.o_orderkey AND a.p_brand < b.p_brand
+        CROSS JOIN n
+        GROUP BY 1, n_baskets
+        HAVING COUNT(*) >= CEIL(0.05 * n_baskets)
+    )
+    SELECT itemset, freq FROM ones
+    UNION ALL
+    SELECT itemset, freq FROM twos
+    """,
+)
+def ml_fpgrowth_2itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining (market-basket analysis): FPGrowth over
+    per-order brand baskets at 5% support, restricted to itemsets of size
+    ≤ 2 so the oracle can re-derive them EXACTLY — 1-itemsets are a
+    groupBy, 2-itemsets a basket self-join; FPGrowth's minCount is
+    ceil(minSupport·n) on both sides. Itemsets are emitted as a sorted
+    comma-joined key for a stable, engine-neutral schema. (Higher-order
+    itemsets exist in the model — the SQL-expressible slice is what gets
+    hash-checked; the FP-tree is how the full lattice stays tractable.)
+
+    Scale: FPGrowth is the parallel FP-tree algorithm — one pass for item
+    counts, one group-dependent-transactions shuffle, per-partition
+    conditional trees; never the a-priori candidate explosion. The basket
+    build is the only fact-sized work (distinct (order, brand) shuffle
+    with part broadcast).
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("o_orderkey")
+        .agg(F.array_distinct(F.collect_list("p_brand")).alias("items"))
+    )
+    fp = FPGrowth(itemsCol="items", minSupport=0.05, minConfidence=0.25)
+    model = fp.fit(baskets)
+    return (
+        model.freqItemsets.where(F.size("items") <= 2)
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.col("freq"),
+        )
+    )

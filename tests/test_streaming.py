@@ -210,3 +210,57 @@ def test_foreach_batch_sink_equals_batch(spark):
         .collect()
     }
     assert got == want and len(got) == 5
+
+
+@pytest.mark.streaming
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Fault-tolerance contract: a streaming dedup stopped after batch 1
+    and RESTARTED from its checkpoint must (a) restore dedup state — keys
+    emitted before the restart are never re-emitted — and (b) pick up only
+    new input files. This is the exactly-once recovery the checkpoint dir
+    exists for; at 100 TB it is what makes an event-lake incremental job
+    safe to kill at any point.
+    """
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    input_dir = str(tmp_path / "input")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load(spark, SF_DIR_SMOKE, "events")
+
+    def dedup_forever(stream):
+        # no watermark: state never expires, so every (user, type) key is
+        # emitted exactly once EVER — the property the restart must keep
+        return stream.dropDuplicates(["user_id", "event_type"]).select(
+            "event_id", "user_id", "event_type"
+        )
+
+    def run_once(phase_df):
+        phase_df.write.mode("append").parquet(input_dir)
+        schema = spark.read.parquet(input_dir).schema
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        q = (
+            dedup_forever(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once(events.where(F.col("user_id") < 10))
+    phase1 = spark.read.parquet(out_dir).count()
+    run_once(events.where(F.col("user_id") >= 10))  # restart from ckpt
+    out = spark.read.parquet(out_dir)
+
+    total = out.count()
+    assert phase1 > 0 and total > phase1, (phase1, total)  # both phases emitted
+    # exactly-once across the restart: no key ever emitted twice
+    assert total == out.select("user_id", "event_type").distinct().count()
+    # and the union of both phases covers every key in the source exactly
+    assert total == events.select("user_id", "event_type").distinct().count()

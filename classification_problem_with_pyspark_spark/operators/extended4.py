@@ -381,3 +381,76 @@ def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_sum - true_sum).cast("double") / true_sum.cast("double") * 100, 4
         ).alias("rel_err_pct"),
     )
+
+
+@register(
+    "layout_zorder_cluster",
+    oracle="""
+    WITH bucketed AS (
+        SELECT o_orderkey,
+               NTILE(16) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS xb,
+               NTILE(16) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS yb
+        FROM orders
+    ), z AS (
+        SELECT o_orderkey, xb, yb,
+               (((xb >> 0) & 1) << 0) | (((yb >> 0) & 1) << 1) |
+               (((xb >> 1) & 1) << 2) | (((yb >> 1) & 1) << 3) |
+               (((xb >> 2) & 1) << 4) | (((yb >> 2) & 1) << 5) |
+               (((xb >> 3) & 1) << 6) | (((yb >> 3) & 1) << 7) AS zval
+        FROM bucketed
+    ), files AS (
+        SELECT *, NTILE(16) OVER (ORDER BY zval, o_orderkey) - 1 AS zfile
+        FROM z
+    )
+    SELECT zfile,
+           COUNT(*) AS n_rows,
+           MIN(xb) AS min_xb, MAX(xb) AS max_xb,
+           MIN(yb) AS min_yb, MAX(yb) AS max_yb
+    FROM files
+    GROUP BY zfile
+    """,
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multi-dimensional clustering — the layout
+    maintenance job behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: bucket
+    two filter columns into 16 quantile ranks each, interleave their bits
+    into one z-value, sort by it, and cut 16 equal "files". The reported
+    per-file (min,max) envelopes of BOTH dimensions are the file-skipping
+    statistics a reader consults: under z-order every file spans ≲¼ of
+    each dimension, so a selective predicate on EITHER column prunes most
+    files — a single-column sort bounds one dimension and leaves the
+    other spanning every file.
+
+    Scale: quantile bucketing at 100 TB uses approx quantile boundaries
+    broadcast to mappers (no global sort for RANKS); the final sort is the
+    write job's one legitimate global order — exactly what OPTIMIZE
+    spends its time on. Here NTILE stands in for the boundary table so
+    the oracle derives bit-identical buckets.
+    """
+    o = load(spark, sf_dir, "orders")
+    wx = Window.orderBy("o_custkey", "o_orderkey")
+    wy = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.select(
+        "o_orderkey",
+        (F.ntile(16).over(wx) - 1).alias("xb"),
+        (F.ntile(16).over(wy) - 1).alias("yb"),
+    )
+    z = b.withColumn(
+        "zval",
+        F.expr(
+            "(((xb >> 0) & 1) << 0) | (((yb >> 0) & 1) << 1) | "
+            "(((xb >> 1) & 1) << 2) | (((yb >> 1) & 1) << 3) | "
+            "(((xb >> 2) & 1) << 4) | (((yb >> 2) & 1) << 5) | "
+            "(((xb >> 3) & 1) << 6) | (((yb >> 3) & 1) << 7)"
+        ),
+    )
+    files = z.withColumn(
+        "zfile", F.ntile(16).over(Window.orderBy("zval", "o_orderkey")) - 1
+    )
+    return files.groupBy("zfile").agg(
+        F.count("*").alias("n_rows"),
+        F.min("xb").alias("min_xb"),
+        F.max("xb").alias("max_xb"),
+        F.min("yb").alias("min_yb"),
+        F.max("yb").alias("max_yb"),
+    )

@@ -1319,3 +1319,135 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_dedup_pipeline_exact",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, t.term, t.pos FROM documents,
+          LATERAL (SELECT unnest(string_split(text, ' ')) AS term,
+                          generate_subscripts(string_split(text, ' '), 1) AS pos) t
+    ), sh AS (
+        SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), sig AS (
+        SELECT doc_id,
+           MIN(CAST(('0x' || substr(md5('0_' || shingle), 1, 15)) AS BIGINT)) AS s0,
+           MIN(CAST(('0x' || substr(md5('0_' || shingle), 16, 15)) AS BIGINT)) AS s1,
+           MIN(CAST(('0x' || substr(md5('1_' || shingle), 1, 15)) AS BIGINT)) AS s2,
+           MIN(CAST(('0x' || substr(md5('1_' || shingle), 16, 15)) AS BIGINT)) AS s3
+        FROM sh GROUP BY doc_id
+    ), cand AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b ON a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b ON a.s2 = b.s2 AND a.s3 = b.s3 AND a.doc_id < b.doc_id
+        ) p
+    ), tsets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+    ), verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN tsets a ON a.doc_id = c.doc_a
+        JOIN tsets b ON b.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION ALL
+        SELECT doc_b, doc_a FROM verified
+    ), reach AS (
+        SELECT doc_id AS id, doc_id AS root FROM documents
+        UNION
+        SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ), clusters AS (
+        SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           c.doc_id = c.cluster_id AS is_keeper
+    FROM clusters c
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM clusters GROUP BY cluster_id) s USING (cluster_id)
+    WHERE s.cluster_size >= 2
+    """,
+)
+def llm_dedup_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup pipeline as it actually runs at 100 TB,
+    every stage exact and the whole composition hash-checked:
+
+    1. CANDIDATES from banded MinHash LSH (llm_dedup_minhash_banded's
+       deterministic md5 sketch — bucket equi-joins, no all-pairs);
+    2. VERIFY each candidate with exact token-set Jaccard ≥ 0.5 — LSH
+       precision is probabilistic, so production pipelines always re-check
+       candidates before acting on them;
+    3. CLUSTER verified pairs with min-label connected components
+       (transitive duplicates collapse — pairwise dedup over-keeps);
+    4. SURVIVORS: keeper = min doc_id per cluster; output every doc in a
+       size-≥2 cluster with its cluster id/size/keeper flag.
+
+    Scale composition: stage 1 shuffles signatures (4 longs/doc), stage 2
+    joins ONLY candidate pairs back to token sets (candidate-sized, not
+    corpus-sized), stage 3 iterates on the verified-pair graph (tiny by
+    construction), stage 4 is one groupBy. The quadratic term never
+    appears — exactly why this pipeline replaces blocked all-pairs
+    Jaccard at scale.
+    """
+    from classification_problem_with_pyspark_spark.operators.extended2 import (
+        llm_dedup_minhash_banded,
+    )
+
+    cand = llm_dedup_minhash_banded(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    tsets = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("ts"))
+    a = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    b = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(inter.cast("double") / union >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges = verified.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)  # candidate gen + verify run once, not per round
+
+    labels = d.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("root"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(15):  # component diameter bound; near-dup clusters are tiny
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("root").alias("nroot"))
+        )
+        labels = (
+            labels.join(prop, "id", "left")
+            .select("id", F.least(F.col("root"), F.col("nroot")).alias("root"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("root")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    sizes = labels.groupBy(F.col("root").alias("cluster_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, labels.root == sizes.cluster_id)
+        .where(F.col("cluster_size") >= 2)
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+    )

@@ -478,3 +478,75 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.join(F.broadcast(last), result.batch_id == last.b).select(
         "event_type", "n_events", "value_cents"
     )
+
+
+@register(
+    "events_downsample_m4",
+    oracle="""
+    WITH bucketed AS (
+        SELECT event_type, value, ts, event_id,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS bstart
+        FROM events
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bstart
+                                  ORDER BY ts, event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bstart
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM bucketed
+    )
+    SELECT event_type,
+           strftime(to_timestamp(bstart) AT TIME ZONE 'UTC',
+                    '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           COUNT(*) AS n_events,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           MAX(CASE WHEN rn_first = 1 THEN value END) AS vfirst,
+           MAX(CASE WHEN rn_last = 1 THEN value END) AS vlast
+    FROM ranked
+    GROUP BY event_type, bstart
+    """,
+)
+def events_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (the standard error-free time-series reduction for
+    visualization: min, max, first, last per pixel bucket — M4 preserves
+    the exact rendered line at 1-pixel resolution, unlike naive avg
+    sampling): 6-hour buckets per event_type over the 30-day stream.
+
+    Shape: ONE shuffle on (event_type, bucket); first/last come from two
+    opposed row_number windows over the same partitioning (no extra
+    exchange — same sort, reversed), then roll up with conditional aggs.
+    At 100 TB this is the query a dashboard layer runs per zoom level;
+    bucket width scales with the zoom, the plan shape never changes.
+    Tie-break on event_id makes first/last total-order deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        (F.floor(F.unix_timestamp("ts") / 21600) * 21600).alias("bstart"),
+    )
+    wf = Window.partitionBy("event_type", "bstart").orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", "bstart").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = b.withColumn("rn_first", F.row_number().over(wf)).withColumn(
+        "rn_last", F.row_number().over(wl)
+    )
+    return ranked.groupBy("event_type", "bstart").agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("vfirst"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("vlast"),
+    ).select(
+        "event_type",
+        F.date_format(F.timestamp_seconds("bstart"), TS_FMT).alias("bucket_start"),
+        "n_events",
+        "vmin",
+        "vmax",
+        "vfirst",
+        "vlast",
+    )

@@ -454,3 +454,105 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yb").alias("min_yb"),
         F.max("yb").alias("max_yb"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via Spark 3.5 BITMAP aggregates, verified
+    against COUNT(DISTINCT): per (event_type, day, bitmap-bucket) a
+    roaring-style bitmap of user bit positions is CONSTRUCTED, then
+    per-type bitmaps are OR-MERGED across days and counted. The oracle is
+    plain COUNT(DISTINCT) — a hash match proves the bitmap rollup is
+    exactly lossless.
+
+    Why this beats COUNT(DISTINCT) at 100 TB: the day-level bitmap table
+    is a REUSABLE pre-aggregate — any date range's distinct count is a
+    bitmap_or_agg + bitmap_count over it (mergeable, like HLL sketches
+    but exact), while COUNT(DISTINCT) re-shuffles raw (type, user) pairs
+    for every query. Bucket number is part of the intermediate key —
+    each bitmap covers 32768 bit positions, so ids of any magnitude
+    partition correctly across (type, bucket) bitmaps.
+    """
+    e = load(spark, sf_dir, "events")
+    day_bitmaps = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    per_bucket = day_bitmaps.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("bucket_users")
+    )
+    users = per_bucket.groupBy("event_type").agg(
+        F.sum("bucket_users").alias("distinct_users")
+    )
+    # day coverage counts ALL buckets' days — a per-bucket max would
+    # undercount once ids span multiple 32768-wide buckets
+    days = day_bitmaps.groupBy("event_type").agg(F.countDistinct("day").alias("n_days"))
+    return users.join(days, "event_type").select(
+        "event_type", "distinct_users", "n_days"
+    )
+
+
+@register(
+    "scalar_url_suite",
+    oracle="""
+    SELECT p_partkey,
+           'https' AS proto,
+           lower(replace(p_brand, '#', '')) || '.example.com' AS host,
+           '/part/' || CAST(p_partkey AS VARCHAR) AS path,
+           'size=' || CAST(p_size AS VARCHAR) || '&type='
+               || replace(p_type, ' ', '-') AS query,
+           CAST(p_size AS VARCHAR) AS size_param,
+           'sec' || CAST(p_partkey % 3 AS VARCHAR) AS fragment
+    FROM part
+    """,
+)
+def scalar_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family (§2.8 gap): build a URL from part columns,
+    then recover every component with ``parse_url`` (PROTOCOL / HOST /
+    PATH / QUERY / parameterized QUERY / REF). The oracle re-derives the
+    components directly from the source columns, so a hash match proves
+    parse_url exactly inverts the construction — including the '#'
+    stripped from brands (illegal in authority) and spaces dashed in the
+    query (parse_url stops at whitespace otherwise).
+
+    Scale: pure codegen'd string expressions, no shuffle — the shape of
+    every log-enrichment pipeline's URL-splitting stage.
+    """
+    p = load(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_replace("p_brand", "#", "")),
+        F.lit(".example.com/part/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+        F.lit("&type="),
+        F.regexp_replace("p_type", " ", "-"),
+        F.lit("#sec"),
+        (F.col("p_partkey") % 3).cast("string"),
+    )
+    u = p.select("p_partkey", url.alias("url"))
+    return u.select(
+        "p_partkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("size")).alias("size_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )

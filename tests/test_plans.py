@@ -338,3 +338,21 @@ def test_perplexity_shares_term_key_shuffles(spark):
     df = QUERIES["llm_perplexity_proxy"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_aqe_replans_at_runtime(spark):
+    """The 100-TB posture claims AQE re-plans from runtime statistics —
+    prove it: after execution the FINAL adaptive plan must exist and show
+    an AQEShuffleRead (runtime partition coalescing of the configured 32
+    shuffle partitions down to what the data actually needs)."""
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    o = load(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 280000)
+    j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+    j.collect()  # adaptive plans finalize only on execution
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "AQEShuffleRead" in plan, plan

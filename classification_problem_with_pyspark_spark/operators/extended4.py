@@ -556,3 +556,53 @@ def scalar_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("size")).alias("size_param"),
         F.parse_url("url", F.lit("REF")).alias("fragment"),
     )
+
+
+@register(
+    "scalar_xml_suite",
+    oracle="""
+    SELECT s_suppkey,
+           s_suppkey AS xml_key,
+           s_name AS xml_name,
+           s_nationkey AS xml_nation,
+           CAST(s_acctbal AS DOUBLE) AS xml_acctbal
+    FROM supplier
+    """,
+)
+def scalar_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML parsing (Spark 4 ``from_xml``, the §2.8 family's newest
+    member): serialize supplier rows into XML documents in-query, parse
+    them back with a typed schema, and emit the recovered fields. The
+    oracle reads the fields straight off the table, so a hash match
+    proves serialize→parse is an exact identity for every typed column
+    (including doubles — Spark casts their canonical string forms back
+    losslessly). Same construct-then-invert pattern as scalar_url_suite;
+    supplier names contain no XML-special characters (hash-verified).
+
+    Scale: from_xml is a JVM-side expression over each row's string —
+    no shuffle, codegen-adjacent; the shape of every feed-ingestion
+    pipeline that lands XML payloads in a string column.
+    """
+    s = load(spark, sf_dir, "supplier")
+    xml = F.concat(
+        F.lit("<supplier><key>"),
+        F.col("s_suppkey").cast("string"),
+        F.lit("</key><name>"),
+        F.col("s_name"),
+        F.lit("</name><nation>"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("</nation><acctbal>"),
+        F.col("s_acctbal").cast("string"),
+        F.lit("</acctbal></supplier>"),
+    )
+    x = s.select("s_suppkey", xml.alias("x"))
+    schema = "key BIGINT, name STRING, nation INT, acctbal DOUBLE"
+    return x.select(
+        "s_suppkey", F.from_xml("x", schema).alias("doc")
+    ).select(
+        "s_suppkey",
+        F.col("doc.key").alias("xml_key"),
+        F.col("doc.name").alias("xml_name"),
+        F.col("doc.nation").alias("xml_nation"),
+        F.col("doc.acctbal").alias("xml_acctbal"),
+    )

@@ -237,7 +237,9 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N²) by design: this is the correctness oracle for the LSH/IVF
     variants. At 100 TB the candidate side becomes a bounded shard per
     worker (IVF cell / LSH bucket); the probe-partitioned mapInPandas
-    shape is unchanged.
+    shape is unchanged — that variant is IMPLEMENTED as
+    ``llm_similarity_topk_sharded`` (cogrouped applyInPandas per KMeans
+    cell, recall-gated in tests/test_ann_quality.py).
     """
     import numpy as np
     import pandas as pd

@@ -606,3 +606,85 @@ def scalar_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc.nation").alias("xml_nation"),
         F.col("doc.acctbal").alias("xml_acctbal"),
     )
+
+
+@register(
+    "join_dim_snapshot_asof",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, event_type AS dim_type, ts AS eff_from,
+               COALESCE(LEAD(ts) OVER w2, TIMESTAMP '9999-12-31')
+                   AS eff_to
+        FROM (SELECT user_id, event_type, ts FROM seq
+              WHERE prev_type IS NULL OR prev_type <> event_type) c
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    ), purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.dim_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM purchases p
+    JOIN changes d
+      ON p.user_id = d.user_id AND p.ts >= d.eff_from AND p.ts < d.eff_to
+    GROUP BY d.dim_type
+    """,
+)
+def join_dim_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈SCD2 dimension AS OF fact time — the lakehouse join every
+    versioned-dimension model needs: each purchase is attributed to the
+    dimension version whose validity interval [eff_from, eff_to) contains
+    the purchase timestamp. The SCD2 intervals are built in-query from
+    the events stream (same run-length construction as
+    scd2_user_type_history); purchases then join on user_id with the
+    interval containment as a residual predicate.
+
+    Scale shape: this is an EQUI-join on user_id (hash/broadcast-able,
+    never a nested loop — each user's handful of versions rides along as
+    the residual filter), which is exactly why SCD2 keys every interval
+    by its natural key: interval joins WITHOUT an equi key degenerate to
+    range-join machinery (see join_range_bucketed for that rewrite).
+    Every purchase matches exactly one version (intervals partition the
+    timeline per user from each user's first event, and a user's first
+    event bounds all their events) — asserted by the count equality in
+    the oracle hash.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id", "event_type", "ts", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("dim_type"),
+        F.col("ts").alias("eff_from"),
+        F.coalesce(
+            F.lead("ts").over(w2), F.lit("9999-12-31").cast("timestamp")
+        ).alias("eff_to"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        purchases.join(
+            dim,
+            (purchases.user_id == dim.d_user)
+            & (purchases.ts >= dim.eff_from)
+            & (purchases.ts < dim.eff_to),
+        )
+        .groupBy("dim_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast(_D)).cast("double").alias("total_value"),
+        )
+    )

@@ -2305,3 +2305,106 @@ def agg_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(8).alias("dof"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH bucketed AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE c_nationkey % 4 END AS nbucket
+        FROM customer
+    )
+    SELECT a.nbucket,
+           COUNT(*) AS n_pairs,
+           MIN(a.c_custkey) AS min_custkey
+    FROM bucketed a
+    JOIN bucketed b
+      ON a.nbucket IS NOT DISTINCT FROM b.nbucket
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    GROUP BY a.nbucket
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): a fifth
+    of the customers get a NULL bucket, and the null-safe predicate makes
+    NULL match NULL — the semantic a plain ``=`` join silently drops
+    (standard SQL: NULL = NULL is NULL → row vanishes). The pattern shows
+    up constantly in CDC diffing and dimension conformance, where "both
+    unknown" must compare equal.
+
+    Scale note: Spark plans ``<=>`` as a HASH join key (null hashes like
+    any value) — null-safe joins stay shuffle-hash/broadcast, they do NOT
+    degenerate to nested loops; but every NULL lands in ONE partition, so
+    a mostly-null key needs the same skew treatment as any hot key (the
+    second equi-condition here keeps the null bucket subdivided by
+    segment).
+    """
+    c = load(spark, sf_dir, "customer")
+    b = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("c_nationkey") % 4)
+        .alias("nbucket"),
+    )
+    a = b.select(
+        F.col("c_custkey").alias("k_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("nbucket").alias("nb_a"),
+    )
+    bb = b.select(
+        F.col("c_custkey").alias("k_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("nbucket").alias("nb_b"),
+    )
+    return (
+        a.join(
+            bb,
+            (F.col("nb_a").eqNullSafe(F.col("nb_b")))
+            & (F.col("seg_a") == F.col("seg_b"))
+            & (F.col("k_a") < F.col("k_b")),
+        )
+        .groupBy(F.col("nb_a").alias("nbucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("k_a").alias("min_custkey"),
+        )
+    )
+
+
+@register(
+    "scalar_try_suite",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size % 3 = 0 THEN NULL
+                ELSE ROUND(p_retailprice / (p_size % 3), 6) END AS safe_div,
+           TRY_CAST(p_type AS INTEGER) AS type_as_int,
+           TRY_CAST(substr(CAST(p_partkey AS VARCHAR), 1, 2) AS INTEGER)
+               AS key_prefix,
+           CASE WHEN p_size % 3 = 0 THEN -1.0
+                ELSE ROUND(p_retailprice / (p_size % 3), 6) END AS div_defaulted
+    FROM part
+    """,
+)
+def scalar_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe function family (``try_divide`` / ``try_cast``,
+    Spark 3.5+): division by zero and failed casts yield NULL instead of
+    aborting the job — at 100 TB the difference between a pipeline that
+    quarantines bad rows and one that dies at 99% on the single malformed
+    record. The oracle re-derives each NULL contract with CASE/TRY_CAST;
+    the defaulted variant shows the standard coalesce-to-sentinel recipe.
+    """
+    p = load(spark, sf_dir, "part")
+    safe_div = F.round(F.try_divide("p_retailprice", F.col("p_size") % 3), 6)
+    return p.select(
+        "p_partkey",
+        safe_div.alias("safe_div"),
+        F.col("p_type").cast("string").try_cast("int").alias("type_as_int"),
+        F.substring(F.col("p_partkey").cast("string"), 1, 2)
+        .try_cast("int")
+        .alias("key_prefix"),
+        F.coalesce(safe_div, F.lit(-1.0)).alias("div_defaulted"),
+    )

@@ -442,61 +442,3 @@ def test_random_grouping_sets_match_duckdb(kind, d1, d2, measure, spark, oracle_
     ok, msg = compare("gs_fuzz", df, oracle, oracle_con)
     assert ok, f"{kind}/{d1}/{d2}/{measure}: {msg}"
 
-
-# ---------------------------------------------------------------------------
-# Fuzz surface #8 (round-2): random ROWS-frame window aggregates.
-# Frames exercise a different execution path than ranking functions
-# (WindowExec's sliding frame buffer vs rank counters); aggregates are
-# restricted to exact-on-integral-doubles (sum/min/max/count of
-# l_quantity), so cross-engine equality is bitwise.
-# ---------------------------------------------------------------------------
-
-_FRAME_AGGS = ("sum", "min", "max", "count")
-
-
-@pytest.mark.fuzz
-@settings(
-    max_examples=15,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
-)
-@given(
-    agg=st.sampled_from(_FRAME_AGGS),
-    preceding=st.integers(min_value=0, max_value=5),
-    following=st.integers(min_value=0, max_value=5),
-    part=st.sampled_from(("o_orderstatus", "o_orderpriority")),
-)
-def test_random_rows_frame_matches_duckdb(agg, preceding, following, part, spark, oracle_con):
-    # orders: o_orderkey is UNIQUE (lineitem's (orderkey, linenumber) is
-    # not in this testdata — a non-total frame order is tie-dependent and
-    # diverges between engines; this fuzz surface caught that on its first
-    # run). Integer measure keeps every aggregate bitwise-exact.
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy(part)
-        .orderBy("o_orderkey")
-        .rowsBetween(-preceding, following)
-    )
-    spark_agg = getattr(F, agg)("o_custkey")
-    df = (
-        load(spark, SF_DIR, "orders")
-        .where(F.col("o_orderkey") <= 5000)  # bound rows, keep frames honest
-        .select(
-            "o_orderkey",
-            F.col(part).alias("part_key"),
-            spark_agg.over(w).alias("v"),
-        )
-    )
-    duck_agg = f"{agg}(o_custkey)" if agg != "count" else "count(o_custkey)"
-    oracle = f"""
-    SELECT o_orderkey, {part} AS part_key,
-           {duck_agg} OVER (PARTITION BY {part}
-                            ORDER BY o_orderkey
-                            ROWS BETWEEN {preceding} PRECEDING
-                                     AND {following} FOLLOWING) AS v
-    FROM orders
-    WHERE o_orderkey <= 5000
-    """
-    ok, msg = compare("frame_fuzz", df, oracle, oracle_con)
-    assert ok, f"{agg}/-{preceding}/+{following}/{part}: {msg}"

@@ -550,3 +550,58 @@ def events_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vfirst",
         "vlast",
     )
+
+
+@register(
+    "events_rolling_dau",
+    oracle="""
+    WITH day_users AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), offsets AS (
+        SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(k)
+    ), fanout AS (
+        SELECT d + to_days(CAST(k AS INTEGER)) AS win_day, user_id
+        FROM day_users CROSS JOIN offsets
+    ), days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS win_day FROM events
+    )
+    SELECT strftime(f.win_day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT f.user_id) AS dau_7d
+    FROM fanout f JOIN days USING (win_day)
+    GROUP BY f.win_day
+    """,
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the product-analytics
+    staple that window functions CANNOT express (COUNT(DISTINCT) is not a
+    supported window aggregate in either engine): each (day, user) pair
+    fans out to the 7 window-end days it contributes to (a 7-row
+    broadcast cross join, the stream_sliding trick applied to distinct
+    counting), then one groupBy counts distinct users per window day.
+    Trailing fan-out days beyond the observed range are dropped by the
+    join against real days.
+
+    Scale: the fan-out multiplies the DAY-USER table (already distinct —
+    tiny relative to raw events), never raw events; the final distinct
+    count shuffles (day, user) pairs. The approximate alternative at
+    extreme scale is 7-day HLL sketch merging (agg_hll_sketch_mergeable's
+    posture); this key is the exact form.
+    """
+    e = load(spark, sf_dir, "events")
+    day_users = e.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    offsets = F.broadcast(spark.range(7).select(F.col("id").cast("int").alias("k")))
+    fanout = day_users.crossJoin(offsets).select(
+        F.date_add(F.col("d"), F.col("k")).alias("win_day"), "user_id"
+    )
+    days = e.select(F.date_trunc("day", "ts").alias("win_day")).distinct()
+    return (
+        fanout.join(days.withColumn("win_day", F.col("win_day").cast("date")), "win_day")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+        .select(
+            F.date_format("win_day", "yyyy-MM-dd").alias("day"),
+            "dau_7d",
+        )
+    )

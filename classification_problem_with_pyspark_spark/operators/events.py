@@ -605,3 +605,79 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dau_7d",
         )
     )
+
+
+@register(
+    "events_growth_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT date_trunc('week', ts) AS wk, user_id FROM events
+    ), flags AS (
+        SELECT wk, user_id,
+               LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+               MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+        FROM uw
+    ), weekly AS (
+        SELECT wk,
+               COUNT(*) AS n_active,
+               SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS n_new,
+               SUM(CASE WHEN wk <> first_wk
+                         AND date_diff('day', prev_wk, wk) = 7
+                        THEN 1 ELSE 0 END) AS n_retained,
+               SUM(CASE WHEN wk <> first_wk
+                         AND date_diff('day', prev_wk, wk) > 7
+                        THEN 1 ELSE 0 END) AS n_resurrected
+        FROM flags GROUP BY wk
+    )
+    SELECT strftime(wk, '%Y-%m-%d') AS week,
+           n_active, n_new, n_retained, n_resurrected,
+           COALESCE(LAG(n_active) OVER (ORDER BY wk), 0) - n_retained
+               AS n_churned_from_prev
+    FROM weekly
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the canonical active-user decomposition:
+    every week's actives split into NEW (first-ever week), RETAINED
+    (active the immediately preceding week) and RESURRECTED (returning
+    after a gap), with CHURN derived as last week's actives minus this
+    week's retained. The identity n_active = n_new + n_retained +
+    n_resurrected holds by construction and the oracle hash pins it.
+
+    Shape: one distinct over (user, week) — the only fact-sized shuffle —
+    then per-user lag/min windows (bounded state per user) and a weekly
+    rollup whose final lag window runs over a handful of week rows.
+    At 100 TB the (user, week) distinct is incremental-friendly: append
+    the new week's partition, never rescan history (the
+    merge_incremental_agg posture).
+    """
+    e = load(spark, sf_dir, "events")
+    uw = e.select(
+        F.date_trunc("week", "ts").alias("wk"), "user_id"
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("wk")
+    flags = uw.select(
+        "wk",
+        "user_id",
+        F.lag("wk").over(wu).alias("prev_wk"),
+        F.min("wk").over(Window.partitionBy("user_id")).alias("first_wk"),
+    )
+    is_new = F.col("wk") == F.col("first_wk")
+    gap_days = F.datediff("wk", "prev_wk")
+    weekly = flags.groupBy("wk").agg(
+        F.count("*").alias("n_active"),
+        F.sum(F.when(is_new, 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(~is_new & (gap_days == 7), 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(~is_new & (gap_days > 7), 1).otherwise(0)).alias("n_resurrected"),
+    )
+    ww = Window.orderBy("wk")
+    return weekly.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce(F.lag("n_active").over(ww), F.lit(0)) - F.col("n_retained")
+        ).alias("n_churned_from_prev"),
+    )

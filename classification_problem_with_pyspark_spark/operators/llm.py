@@ -1201,7 +1201,11 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the gram hash, so skew tracks true gram popularity; at 100 TB the
     df table is the same partial-agg shape as word-count.
     """
-    d = load(spark, sf_dir, "documents")
+    # repartition before the explode: the single-file local scan would
+    # otherwise run the whole split+transform+explode on ONE task (the r1
+    # single-file trap, BASELINE.md continuation-2; measured 1.4→0.87 s
+    # warm at sf0.1). No-op by count on a many-partition 100-TB scan.
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
     w = d.select("doc_id", F.split("text", " ").alias("w"))
     grams = (
         w.where(F.size("w") >= 3)
@@ -1306,7 +1310,10 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     every float aggregate in the suite). The corpus total rides along as
     a broadcast 1-row cross join on both engines.
     """
-    d = load(spark, sf_dir, "documents")
+    # repartition: spread the split+explode map work across cores on the
+    # single-file local input (no-op by count at 100 TB) — same trap as
+    # llm_ngram_novelty.
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
     total = tf.agg(F.sum("cnt").alias("n"))

@@ -1460,3 +1460,88 @@ def llm_dedup_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
         )
     )
+
+
+@register(
+    "llm_dedup_survivor_quality",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a
+        JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT doc_id AS id, doc_id AS root FROM documents
+        UNION
+        SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ), clusters AS (
+        SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id
+    ), sized AS (
+        SELECT c.doc_id, c.cluster_id, s.cluster_size
+        FROM clusters c
+        JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM clusters GROUP BY cluster_id) s USING (cluster_id)
+        WHERE s.cluster_size >= 2
+    ), q AS (
+        SELECT doc_id,
+               ROUND(0.4 * least(length(text) / 500.0, 1.0)
+                   + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                   + 0.2 * (1.0 - CAST(len(list_filter(
+                         list_distinct(string_split(text, ' ')),
+                         x -> x IN {_STOP_SQL})) AS DOUBLE)
+                            / len(string_split(text, ' '))), 6) AS quality
+        FROM documents
+    ), ranked AS (
+        SELECT sized.*, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY q.quality DESC, sized.doc_id) AS rk
+        FROM sized JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, cluster_size,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS keeper_doc_id,
+           MAX(CASE WHEN rk = 1 THEN quality END) AS keeper_quality,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) <> cluster_id AS keeper_upgraded
+    FROM ranked
+    GROUP BY cluster_id, cluster_size
+    """,
+)
+def llm_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection — the refinement real corpus
+    dedup applies after clustering: instead of keeping the arbitrary
+    min-id document, each near-dup cluster keeps its HIGHEST-QUALITY
+    member (composite score from llm_quality_score; doc_id breaks ties).
+    ``keeper_upgraded`` marks clusters where quality-aware selection
+    changed the outcome vs the id-based default — the measurable value
+    of the refinement.
+
+    Composition: llm_dedup_cluster_cc's components (Jaccard ≥ 0.8 graph,
+    min-label CC) joined to the quality projection, then one per-cluster
+    rank. Everything rides the cluster-sized tables; the corpus-sized
+    work (pair gen, quality scan) is unchanged from its parents.
+    """
+    from classification_problem_with_pyspark_spark.operators.extended import (
+        llm_dedup_cluster_cc,
+    )
+
+    clusters = llm_dedup_cluster_cc(spark, sf_dir).where(F.col("cluster_size") >= 2)
+    quality = llm_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = (
+        clusters.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return ranked.groupBy("cluster_id", "cluster_size").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keeper_doc_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("quality"))).alias("keeper_quality"),
+        (
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))) != F.col("cluster_id")
+        ).alias("keeper_upgraded"),
+    )

@@ -1545,3 +1545,84 @@ def llm_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rk") == 1, F.col("doc_id"))) != F.col("cluster_id")
         ).alias("keeper_upgraded"),
     )
+
+
+@register(
+    "llm_hard_negative_mining",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               a.label AS label_a, b.label AS label_b,
+               ROUND(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), pos AS (
+        SELECT qid, nid AS pos_id, sim AS pos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+        FROM pairs WHERE label_a = label_b
+    ), neg AS (
+        SELECT qid, nid AS neg_id, sim AS neg_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+        FROM pairs WHERE label_a <> label_b
+    )
+    SELECT p.qid, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           ROUND(p.pos_sim - n.neg_sim, 6) AS margin
+    FROM pos p JOIN neg n USING (qid)
+    WHERE p.rn = 1 AND n.rn = 1
+    """,
+)
+def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the most-similar SAME-label neighbor (the positive) and the
+    most-similar DIFFERENT-label neighbor (the hard negative — the
+    near-miss that makes the training signal), plus the pos−neg margin
+    (small/negative margin = the hard cases a curriculum upweights).
+
+    Exact N² form — the correctness baseline, same posture as
+    llm_similarity_topk: at 100 TB production mines negatives from an ANN
+    shortlist (llm_similarity_ivf / llm_similarity_topk_sharded generate
+    the candidates; this ranking then runs per shortlist, not per
+    corpus). One broadcast cross join feeds BOTH selections; the two
+    windows share the qid partitioning so Spark reuses the exchange.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("label_a"),
+    ).withColumn("norm_a", norm(F.col("emb_a"))).repartition(32)
+    b = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    ).withColumn("norm_b", norm(F.col("emb_b")))
+    sim = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", "label_a", "label_b", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    pos = (
+        pairs.where(F.col("label_a") == F.col("label_b"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("nid").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    )
+    neg = (
+        pairs.where(F.col("label_a") != F.col("label_b"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("nid").alias("neg_id"), F.col("sim").alias("neg_sim"))
+    )
+    return pos.join(neg, "qid").select(
+        "qid",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )

@@ -100,6 +100,7 @@ def main() -> None:
         "llm_dedup_embedding_cosine",
         "llm_dedup_cluster_cc",  # quadratic pair gen + iterative CC rounds
         "llm_similarity_topk_hof",  # same O(N²) family, JVM twin of the headline
+        "llm_hard_negative_mining",  # same O(N²) family (exact mining baseline)
     }
     coverage: dict[str, float] = {}
     for name, q in sorted(QUERIES.items()):

@@ -2408,3 +2408,58 @@ def scalar_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("key_prefix"),
         F.coalesce(safe_div, F.lit(-1.0)).alias("div_defaulted"),
     )
+
+
+@register(
+    "llm_mixture_temperature",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT SUM(n_docs) AS total FROM counts
+    ), w AS (
+        SELECT lang, n_docs,
+               CAST(n_docs AS DOUBLE) / total AS p,
+               pow(CAST(n_docs AS DOUBLE) / total, 0.5) AS wa
+        FROM counts CROSS JOIN tot
+    ), z AS (
+        SELECT SUM(wa) AS zsum FROM w
+    )
+    SELECT lang, n_docs,
+           ROUND(p, 6) AS corpus_share,
+           ROUND(wa / zsum, 6) AS sample_weight,
+           ROUND((wa / zsum) / p, 6) AS upweight_factor
+    FROM w CROSS JOIN z
+    """,
+)
+def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (T=2, i.e. w ∝ p^(1/T) = √p) —
+    the multilingual-pretraining standard for flattening a skewed corpus:
+    high-resource languages are downweighted, low-resource upweighted,
+    with the upweight factor per language reported (the number that says
+    "zh is seen 1.8× more often than its corpus share"). Unlike
+    llm_mixture_resample's FIXED rates, the weights here derive from the
+    corpus itself — recompute after every corpus change.
+
+    Shape: one count per lang (map-side partial), then two 1-row
+    broadcast totals (corpus size, normalizer) — the per-language weight
+    table this feeds is itself a broadcast input to the actual sampler
+    (llm_sample_hash_stratified's rate-table pattern).
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total")).alias("p"),
+        F.pow(F.col("n_docs").cast("double") / F.col("total"), 0.5).alias("wa"),
+    )
+    z = w.agg(F.sum("wa").alias("zsum"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round("p", 6).alias("corpus_share"),
+        F.round(F.col("wa") / F.col("zsum"), 6).alias("sample_weight"),
+        F.round((F.col("wa") / F.col("zsum")) / F.col("p"), 6).alias("upweight_factor"),
+    )

@@ -2463,3 +2463,97 @@ def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("wa") / F.col("zsum"), 6).alias("sample_weight"),
         F.round((F.col("wa") / F.col("zsum")) / F.col("p"), 6).alias("upweight_factor"),
     )
+
+
+@register(
+    "agg_ab_test_ttest",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), moments AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(c) AS s1,
+               SUM(c * c) AS s2
+        FROM cents GROUP BY event_type
+    ), stats AS (
+        SELECT event_type, n,
+               (CAST(s1 AS DOUBLE) / n) / 100.0 AS mean_val,
+               ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                   / 10000.0 AS var_val
+        FROM moments
+    )
+    SELECT t.n AS n_treatment, c.n AS n_control,
+           ROUND(t.mean_val, 6) AS mean_treatment,
+           ROUND(c.mean_val, 6) AS mean_control,
+           ROUND(t.mean_val - c.mean_val, 6) AS mean_diff,
+           ROUND((t.mean_val - c.mean_val)
+                 / sqrt(t.var_val / t.n + c.var_val / c.n), 6) AS t_stat
+    FROM (SELECT * FROM stats WHERE event_type = 'purchase') t
+    CROSS JOIN (SELECT * FROM stats WHERE event_type = 'view') c
+    """,
+)
+def agg_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B comparison (Welch t-statistic) between purchase and
+    view values, computed from EXACT integer-cents moments: sums and
+    sums-of-squares stay in int64 until the final divisions (the
+    agg_corr_covar discipline — float summation order can never perturb
+    the hash), then mean difference and t-stat round at 6. The p-value
+    needs a t-CDF (no SQL form) — production reads the statistic against
+    a threshold, which is exactly what this emits.
+
+    Shape: one conditional scan → two-group moment aggregation (map-side
+    partial) → a 1×1 cross of two single-row stat tables. At 100 TB the
+    moments are also the mergeable state for sequential testing —
+    re-aggregate the new day, merge the sums.
+    """
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    cents = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    m = cents.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    stats = m.select(
+        "event_type",
+        "n",
+        ((F.col("s1").cast("double") / F.col("n")) / 100.0).alias("mean_val"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            )
+            / (F.col("n") - 1)
+            / 10000.0
+        ).alias("var_val"),
+    )
+    t = stats.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_treatment"),
+        F.col("mean_val").alias("mt"),
+        F.col("var_val").alias("vt"),
+    )
+    c = stats.where(F.col("event_type") == "view").select(
+        F.col("n").alias("n_control"),
+        F.col("mean_val").alias("mc"),
+        F.col("var_val").alias("vc"),
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        "n_treatment",
+        "n_control",
+        F.round("mt", 6).alias("mean_treatment"),
+        F.round("mc", 6).alias("mean_control"),
+        F.round(F.col("mt") - F.col("mc"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("mt") - F.col("mc"))
+            / F.sqrt(
+                F.col("vt") / F.col("n_treatment") + F.col("vc") / F.col("n_control")
+            ),
+            6,
+        ).alias("t_stat"),
+    )

@@ -2557,3 +2557,59 @@ def agg_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_stat"),
     )
+
+
+@register(
+    "window_drawdown",
+    oracle="""
+    WITH cum AS (
+        SELECT user_id, ts, event_id,
+               SUM(CAST(round(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_c
+        FROM events
+    ), dd AS (
+        SELECT user_id, cum_c,
+               MAX(cum_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak_c
+        FROM cum
+    )
+    SELECT user_id,
+           CAST(MAX(peak_c) AS DOUBLE) / 100.0 AS peak_value,
+           CAST(MAX(peak_c - cum_c) AS DOUBLE) / 100.0 AS max_drawdown
+    FROM dd
+    GROUP BY user_id
+    """,
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the risk metric every portfolio/quota
+    monitor computes: running cumulative value, its running peak, and the
+    deepest peak-to-current drop. Two stacked windows over the SAME
+    (user_id, ts, event_id) ordering — Spark plans ONE sort+shuffle and
+    evaluates both frames in a single WindowExec pass — then a per-user
+    rollup. All arithmetic in int64 cents until the final /100 (the
+    integer-moments discipline), so the hash is summation-order-proof.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cum_c"),
+    )
+    dd = cum.select(
+        "user_id", "cum_c", F.max("cum_c").over(w).alias("peak_c")
+    )
+    return dd.groupBy("user_id").agg(
+        (F.max("peak_c").cast("double") / 100.0).alias("peak_value"),
+        (F.max(F.col("peak_c") - F.col("cum_c")).cast("double") / 100.0).alias(
+            "max_drawdown"
+        ),
+    )

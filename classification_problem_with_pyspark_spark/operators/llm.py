@@ -1626,3 +1626,82 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_sim",
         F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
     )
+
+
+@register(
+    "llm_dataset_card",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, lang, source, n_chars,
+               md5(lower(trim(text))) AS h,
+               ROUND(0.4 * least(length(text) / 500.0, 1.0)
+                   + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                   + 0.2 * (1.0 - CAST(len(list_filter(
+                         list_distinct(string_split(text, ' ')),
+                         x -> x IN {_STOP_SQL})) AS DOUBLE)
+                            / len(string_split(text, ' '))), 6) AS quality
+        FROM documents
+    ), dup AS (
+        SELECT h, COUNT(*) AS cnt FROM q GROUP BY h
+    )
+    SELECT q.source, q.lang,
+           COUNT(*) AS n_docs,
+           SUM(q.n_chars) AS total_chars,
+           ROUND(SUM(CAST(round(q.quality * 1000000) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6) AS mean_quality,
+           SUM(CASE WHEN q.quality >= 0.75 THEN 1 ELSE 0 END) AS n_high_quality,
+           SUM(CASE WHEN dup.cnt > 1 THEN 1 ELSE 0 END) AS n_exact_dup_members
+    FROM q JOIN dup USING (h)
+    GROUP BY q.source, q.lang
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card statistics — the per-(source, lang) profile table a
+    corpus release ships: document and character counts, mean composite
+    quality, high-quality share, and exact-duplicate membership (docs
+    whose normalized text hash collides corpus-wide). One pass computes
+    hash + quality per doc; the duplicate counts join back on the 16-byte
+    digest (never the text — llm_dedup_exact_hash's shuffle discipline).
+
+    Parity note: the mean quality is computed over INTEGER micro-units
+    (quality is exact at 6 decimals by construction, so ×1e6 is an exact
+    int64) — a float AVG landed exactly on a .xxxxxx5 rounding boundary
+    at the gate SF and flipped the 6th decimal between engines; integer
+    sums make the division operands bit-identical on both sides.
+    """
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    stop_ratio = F.size(F.array_intersect(toks, stop_arr)).cast("double") / F.size(toks)
+    quality = F.round(0.4 * len_score + 0.4 * ttr + 0.2 * (1.0 - stop_ratio), 6)
+    q = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        quality.alias("quality"),
+    )
+    dup = q.groupBy("h").agg(F.count("*").alias("cnt"))
+    return (
+        q.join(dup, "h")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum(F.round(F.col("quality") * 1000000).cast("long"))
+                / (F.count("*") * 1000000.0),
+                6,
+            ).alias("mean_quality"),
+            F.sum(F.when(F.col("quality") >= 0.75, 1).otherwise(0)).alias(
+                "n_high_quality"
+            ),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias(
+                "n_exact_dup_members"
+            ),
+        )
+    )

@@ -2613,3 +2613,85 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown"
         ),
     )
+
+
+@register(
+    "events_bot_detection",
+    oracle="""
+    WITH es AS (
+        SELECT user_id, event_id, ts,
+               CAST(floor(epoch(ts)) AS BIGINT) AS esec
+        FROM events
+    ), gaps AS (
+        SELECT user_id,
+               esec - LAG(esec) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS gap_s
+        FROM es
+    ), m AS (
+        SELECT user_id,
+               COUNT(gap_s) AS n_gaps,
+               SUM(gap_s) AS s1,
+               SUM(gap_s * gap_s) AS s2
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(gap_s) >= 10
+    )
+    SELECT user_id, n_gaps,
+           ROUND(CAST(s1 AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+           ROUND(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_gaps)
+                      / (n_gaps - 1))
+                 / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS gap_cv,
+           sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_gaps)
+                / (n_gaps - 1))
+               / (CAST(s1 AS DOUBLE) / n_gaps) < 0.5 AS suspected_bot
+    FROM m
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-arrival regularity: humans are
+    bursty (coefficient of variation of the gap between consecutive
+    events ≈ 1 for Poisson-like behavior), schedulers are metronomic
+    (CV → 0). Per user with ≥ 10 gaps: mean gap, gap CV from exact int64
+    whole-second moments (sums and sums-of-squares never touch floats —
+    the agg_corr_covar discipline; µs gaps SQUARED would overflow int64
+    over a 30-day span, which ANSI mode caught on first run), and the CV < 0.5 flag an abuse
+    pipeline would route to review.
+
+    Shape: one per-user lag window (the events_inter_arrival ordering),
+    one moment aggregation with map-side partials. The flag compares the
+    UNROUNDED CV on both engines, so the boundary is bit-identical.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # whole-second gaps: µs gaps SQUARED overflow int64 over a 30-day
+    # span (2.6e12² ≈ 7e24 ≫ 9.2e18 — ANSI mode caught it); second
+    # precision keeps s2 ≤ ~1e16 and both engines floor epochs identically
+    es = e.select(
+        "user_id", "event_id", "ts", F.unix_timestamp("ts").alias("esec")
+    )
+    gaps = es.select(
+        "user_id",
+        (F.col("esec") - F.lag("esec").over(w)).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        )
+        .where(F.col("n_gaps") >= 10)
+    )
+    mean_us = F.col("s1").cast("double") / F.col("n_gaps")
+    sd_us = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_gaps"))
+        / (F.col("n_gaps") - 1)
+    )
+    cv = sd_us / mean_us
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean_us, 6).alias("mean_gap_s"),
+        F.round(cv, 6).alias("gap_cv"),
+        (cv < 0.5).alias("suspected_bot"),
+    )

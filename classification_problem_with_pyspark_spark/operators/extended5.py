@@ -2695,3 +2695,64 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 6).alias("gap_cv"),
         (cv < 0.5).alias("suspected_bot"),
     )
+
+
+@register(
+    "events_pareto_concentration",
+    oracle="""
+    WITH totals AS (
+        SELECT user_id,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS c
+        FROM events GROUP BY user_id
+    ), deciled AS (
+        SELECT user_id, c,
+               NTILE(10) OVER (ORDER BY c DESC, user_id) AS decile
+        FROM totals
+    ), per_decile AS (
+        SELECT decile, COUNT(*) AS n_users, SUM(c) AS dc
+        FROM deciled GROUP BY decile
+    ), tot AS (SELECT SUM(c) AS total_c FROM totals)
+    SELECT decile, n_users,
+           CAST(dc AS DOUBLE) / 100.0 AS decile_value,
+           ROUND(CAST(dc AS DOUBLE) / total_c, 6) AS value_share,
+           ROUND(CAST(SUM(dc) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / total_c, 6) AS cum_share
+    FROM per_decile CROSS JOIN tot
+    """,
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration (Pareto) curve: users ranked by lifetime value
+    into deciles, each decile's share and cumulative share of total value
+    — the "top 10% of users drive X% of revenue" table every business
+    review opens with (and the skew signal that tells the engine which
+    user keys need salting — audit_key_skew's commercial twin).
+
+    Shape: one fact-sized groupBy to user totals (int64 cents), a global
+    NTILE over the user-total table (users ≪ events — the sort is on the
+    aggregate, never the fact), a 10-row rollup, and a 10-row cumulative
+    window. Total rides as a 1-row broadcast.
+    """
+    e = load(spark, sf_dir, "events")
+    totals = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    )
+    deciled = totals.select(
+        "user_id",
+        "c",
+        F.ntile(10).over(Window.orderBy(F.desc("c"), F.asc("user_id"))).alias("decile"),
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("c").alias("dc")
+    )
+    tot = totals.agg(F.sum("c").alias("total_c"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_decile.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        (F.col("dc").cast("double") / 100.0).alias("decile_value"),
+        F.round(F.col("dc").cast("double") / F.col("total_c"), 6).alias("value_share"),
+        F.round(
+            F.sum("dc").over(wc).cast("double") / F.col("total_c"), 6
+        ).alias("cum_share"),
+    )

@@ -281,3 +281,34 @@ def scalar_datetime_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_1995"
         ),
     )
+
+
+@register(
+    "scalar_regex_extract_suite",
+    oracle=r"""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER)
+               AS brand_num,
+           regexp_extract(p_type, '^(\w+)', 1) AS type_first_word,
+           len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+           length(regexp_replace(p_name, '[^ ]', '', 'g')) + 1 AS n_words
+    FROM part
+    """,
+)
+def scalar_regex_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex EXTRACTION family (§2.8 — count/replace are covered by
+    llm_pii_scrub; this adds group capture and match enumeration):
+    capture-group extraction with a typed cast, anchored first-word
+    capture, match counting via regexp_extract_all (Spark) vs
+    len(regexp_extract_all) (DuckDB), and the strip-and-measure word
+    count idiom. All codegen'd JVM string ops — no shuffle.
+    """
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
+        # idx=0 — the whole match; the default idx=1 requires a capture group
+        F.size(F.regexp_extract_all("p_name", F.lit(r"[aeiou]"), 0)).alias("n_vowels"),
+        (F.length(F.regexp_replace("p_name", r"[^ ]", "")) + 1).alias("n_words"),
+    )

@@ -1705,3 +1705,107 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_span_corruption",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), spans AS (
+        SELECT doc_id, n_tokens,
+               greatest(1, CAST(floor(n_tokens * 0.15 / 3) AS BIGINT)) AS n_spans
+        FROM docs
+    ), starts AS (
+        SELECT s.doc_id, s.n_tokens, s.n_spans,
+               CAST(('0x' || substring(md5('span_' || CAST(s.doc_id AS VARCHAR)
+                     || '_' || CAST(t.k AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+                   % (s.n_tokens - 2) AS start_pos
+        FROM spans s, UNNEST(generate_series(0, s.n_spans - 1)) AS t(k)
+    ), masked AS (
+        SELECT DISTINCT doc_id, n_tokens, n_spans, start_pos + off AS pos
+        FROM starts, UNNEST(generate_series(0, 2)) AS o(off)
+    )
+    SELECT doc_id,
+           MAX(n_tokens) AS n_tokens,
+           MAX(n_spans) AS n_spans,
+           COUNT(*) AS masked_tokens,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_tokens), 6) AS masked_ratio
+    FROM masked
+    GROUP BY doc_id
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption mask generation (the T5/UL2 denoising-objective
+    prep step): each document gets ⌈15%/3⌉ deterministic 3-token spans
+    whose start positions derive from md5(doc_id, span_index) — no RNG
+    state, so any worker (or the oracle) re-derives the identical mask,
+    and a re-run of the pipeline corrupts identically (the property that
+    makes checkpoint-resumed data prep reproducible). Overlapping spans
+    merge via position-set distinct; output is the per-doc mask profile
+    (span count, masked tokens, masked ratio ≈ 0.15 minus overlap loss).
+
+    Shape: all array math until the position explode; one (doc, pos)
+    distinct shuffle and a per-doc rollup — linear in masked tokens,
+    which are 15% of the corpus.
+    """
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    spans = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("n_tokens") * 0.15 / 3).cast("long"),
+        ).alias("n_spans"),
+    )
+    starts = spans.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_spans") - 1)).alias("k"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("span_"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("_"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (F.col("n_tokens") - 2)
+        ).alias("start_pos"),
+    )
+    masked = (
+        starts.select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("off"),
+            "start_pos",
+        )
+        .select(
+            "doc_id", "n_tokens", "n_spans", (F.col("start_pos") + F.col("off")).alias("pos")
+        )
+        .distinct()
+    )
+    return masked.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_spans").alias("n_spans"),
+        F.count("*").alias("masked_tokens"),
+        F.round(
+            F.count("*").cast("double") / F.max("n_tokens"), 6
+        ).alias("masked_ratio"),
+    )

@@ -2756,3 +2756,59 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dc").over(wc).cast("double") / F.col("total_c"), 6
         ).alias("cum_share"),
     )
+
+
+@register(
+    "events_forecast_naive_error",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS c
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), lagged AS (
+        SELECT event_type, d, c,
+               LAG(c, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred_c
+        FROM daily
+    )
+    SELECT event_type,
+           COUNT(pred_c) AS n_days_scored,
+           ROUND(CAST(SUM(ABS(c - pred_c)) AS DOUBLE)
+                 / COUNT(pred_c) / 100.0, 6) AS mae,
+           ROUND(SUM(CAST(ABS(c - pred_c) AS DOUBLE) / c) * 100.0
+                 / COUNT(pred_c), 6) AS mape_pct
+    FROM lagged WHERE pred_c IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_forecast_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline evaluation: predict each day's
+    per-type value with the value from 7 days earlier (the baseline every
+    real forecast must beat) and score MAE and MAPE over the scorable
+    days — the backtest table a forecasting pipeline publishes before any
+    model ships.
+
+    Exactness: daily totals are int64 cents, absolute errors stay integer
+    until the final divisions; MAPE's per-day ratio divides two exact
+    integers, so the only float summation is over ~23 ratio terms per
+    type, absorbed by round(,6) (ratios are engine-identical doubles —
+    same operands, same IEEE division). One (type, day) shuffle, one lag
+    window, one rollup.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type", "d", "c", F.lag("c", 7).over(w).alias("pred_c")
+    ).where(F.col("pred_c").isNotNull())
+    abs_err = F.abs(F.col("c") - F.col("pred_c"))
+    return lagged.groupBy("event_type").agg(
+        F.count("pred_c").alias("n_days_scored"),
+        F.round(
+            F.sum(abs_err).cast("double") / F.count("pred_c") / 100.0, 6
+        ).alias("mae"),
+        F.round(
+            F.sum(abs_err.cast("double") / F.col("c")) * 100.0 / F.count("pred_c"), 6
+        ).alias("mape_pct"),
+    )

@@ -1809,3 +1809,89 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("double") / F.max("n_tokens"), 6
         ).alias("masked_ratio"),
     )
+
+
+@register(
+    "llm_prompt_render",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang, text,
+               CAST(('0x' || substring(md5('tpl_' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    AS BIGINT) % 3 AS template_id
+        FROM documents
+    ), rendered AS (
+        SELECT doc_id, lang, template_id,
+               CASE template_id
+                 WHEN 0 THEN 'Summarize the following text:\n' || text || '\nSummary:'
+                 WHEN 1 THEN 'Translate to ' || upper(lang) || ':\n' || text
+                 ELSE 'Continue the passage:\n' || text
+               END AS prompt
+        FROM assigned
+    )
+    SELECT template_id,
+           COUNT(*) AS n_prompts,
+           SUM(length(prompt)) AS total_chars,
+           MIN(md5(prompt)) AS min_prompt_md5
+    FROM rendered
+    GROUP BY template_id
+    """,
+)
+def llm_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning prompt synthesis: every document is rendered
+    into one of three task templates (summarize / translate / continue),
+    with the template chosen by md5(doc_id) — the deterministic
+    round-robin that keeps the task mixture stable across re-runs and
+    lets any engine re-derive which doc got which template. Output is the
+    per-template mixture profile with a rendered-text fingerprint, so the
+    hash check pins the exact rendered bytes (newlines, casing, template
+    order) — the part of SFT data prep that silently drifts otherwise.
+
+    Shape: pure scan-side string concat + one tiny groupBy; at 100 TB the
+    rendered prompts stream straight to the packed-sequence writer
+    (llm_doc_packing) without materializing.
+    """
+    d = load(spark, sf_dir, "documents")
+    assigned = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tpl_"), F.col("doc_id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        ).alias("template_id"),
+    )
+    prompt = (
+        F.when(
+            F.col("template_id") == 0,
+            F.concat(
+                F.lit("Summarize the following text:\n"),
+                F.col("text"),
+                F.lit("\nSummary:"),
+            ),
+        )
+        .when(
+            F.col("template_id") == 1,
+            F.concat(
+                F.lit("Translate to "),
+                F.upper("lang"),
+                F.lit(":\n"),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("Continue the passage:\n"), F.col("text")))
+    )
+    return (
+        assigned.select("template_id", prompt.alias("prompt"))
+        .groupBy("template_id")
+        .agg(
+            F.count("*").alias("n_prompts"),
+            F.sum(F.length("prompt")).alias("total_chars"),
+            F.min(F.md5("prompt")).alias("min_prompt_md5"),
+        )
+    )

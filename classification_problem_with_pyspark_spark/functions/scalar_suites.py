@@ -312,3 +312,83 @@ def scalar_regex_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("p_name", F.lit(r"[aeiou]"), 0)).alias("n_vowels"),
         (F.length(F.regexp_replace("p_name", r"[^ ]", "")) + 1).alias("n_words"),
     )
+
+
+@register(
+    "scalar_inet_suite",
+    oracle="""
+    WITH ips AS (
+        SELECT event_id,
+               '10.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                     || CAST(event_id % 256 AS VARCHAR) || '.'
+                     || CAST((event_id // 256) % 256 AS VARCHAR) AS ip
+        FROM events
+    ), parts AS (
+        SELECT event_id, ip,
+               CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+               CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+               CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+               CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+        FROM ips
+    )
+    SELECT event_id, ip,
+           o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_int,
+           CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+               || CAST(o3 AS VARCHAR) || '.0/24' AS subnet_24,
+           (o1 = 10) OR (o1 = 172 AND o2 >= 16 AND o2 <= 31)
+               OR (o1 = 192 AND o2 = 168) AS is_private
+    FROM parts
+    """,
+)
+def scalar_inet_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 utility family (log-enrichment staple; Spark ships no inet
+    builtins so every pipeline hand-rolls exactly this): dotted-quad →
+    uint32 via octet arithmetic, /24 subnet truncation, RFC-1918
+    private-range classification. IPs are synthesized deterministically
+    from event/user ids (same in-query fixture pattern as llm_pii_scrub);
+    the oracle re-derives every transform, so the hash pins the octet
+    math — split indexing is 1-based on both engines.
+
+    Shape: pure scan-side string/int expressions, no shuffle.
+    """
+    e = load(spark, sf_dir, "events")
+    ips = e.select(
+        "event_id",
+        F.concat(
+            F.lit("10."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("event_id") / 256).cast("long") % 256).cast("string"),
+        ).alias("ip"),
+    )
+    sp = F.split("ip", r"\.")
+    parts = ips.select(
+        "event_id",
+        "ip",
+        F.element_at(sp, 1).cast("long").alias("o1"),
+        F.element_at(sp, 2).cast("long").alias("o2"),
+        F.element_at(sp, 3).cast("long").alias("o3"),
+        F.element_at(sp, 4).cast("long").alias("o4"),
+    )
+    return parts.select(
+        "event_id",
+        "ip",
+        (
+            F.col("o1") * 16777216 + F.col("o2") * 65536 + F.col("o3") * 256 + F.col("o4")
+        ).alias("ip_int"),
+        F.concat(
+            F.col("o1").cast("string"),
+            F.lit("."),
+            F.col("o2").cast("string"),
+            F.lit("."),
+            F.col("o3").cast("string"),
+            F.lit(".0/24"),
+        ).alias("subnet_24"),
+        (
+            (F.col("o1") == 10)
+            | ((F.col("o1") == 172) & (F.col("o2") >= 16) & (F.col("o2") <= 31))
+            | ((F.col("o1") == 192) & (F.col("o2") == 168))
+        ).alias("is_private"),
+    )

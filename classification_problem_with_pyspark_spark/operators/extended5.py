@@ -2812,3 +2812,87 @@ def events_forecast_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(abs_err.cast("double") / F.col("c")) * 100.0 / F.count("pred_c"), 6
         ).alias("mape_pct"),
     )
+
+
+@register(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH maxd AS (
+        SELECT MAX(ts) AS corpus_max FROM events
+    ), per_user AS (
+        SELECT user_id,
+               date_diff('day', MAX(ts), (SELECT corpus_max FROM maxd))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_c
+        FROM events GROUP BY user_id
+    ), scored AS (
+        SELECT user_id, recency_days, frequency, monetary_c,
+               NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_c DESC, user_id) AS m_score
+        FROM per_user
+    )
+    SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS rfm_segment,
+           COUNT(*) AS n_users,
+           CAST(SUM(monetary_c) AS DOUBLE) / 100.0 AS segment_value,
+           MIN(user_id) AS example_user
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer scoring: per user, days
+    since last activity (Recency, vs the corpus max so the score is
+    data-relative), event count (Frequency), and value total in exact
+    cents (Monetary); each dimension quintiled into 1-5 (best = 1 for R,
+    5-way NTILE with user_id tie-breaks for determinism), concatenated
+    into the 'rfm' segment label marketing routes on (e.g. '111' =
+    champions, '555' = lost).
+
+    Shape: one fact groupBy to user aggregates, three NTILEs over the
+    USER table (aggregate-sized sorts, never the fact), a label rollup.
+    The corpus max rides as a broadcast 1-row cross join.
+    """
+    e = load(spark, sf_dir, "events")
+    maxd = e.agg(F.max("ts").alias("corpus_max"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            F.datediff("corpus_max", "last_ts").alias("recency_days"),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "monetary_c",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary_c"), F.asc("user_id"))).alias("m_score"),
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("rfm_segment"),
+            "monetary_c",
+            "user_id",
+        )
+        .groupBy("rfm_segment")
+        .agg(
+            F.count("*").alias("n_users"),
+            (F.sum("monetary_c").cast("double") / 100.0).alias("segment_value"),
+            F.min("user_id").alias("example_user"),
+        )
+    )

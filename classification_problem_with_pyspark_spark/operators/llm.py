@@ -1895,3 +1895,72 @@ def llm_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5("prompt")).alias("min_prompt_md5"),
         )
     )
+
+
+@register(
+    "llm_split_leakage_audit",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id,
+               md5(lower(trim(text))) AS h,
+               CASE WHEN CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10 < 8 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), pairs AS (
+        SELECT a.split AS split_a, b.split AS split_b
+        FROM assigned a
+        JOIN assigned b ON a.h = b.h AND a.doc_id < b.doc_id
+        WHERE a.split <> b.split
+    )
+    SELECT least(split_a, split_b) AS split_lo,
+           greatest(split_a, split_b) AS split_hi,
+           COUNT(*) AS n_leaked_pairs
+    FROM pairs
+    GROUP BY 1, 2
+    """,
+)
+def llm_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit — the eval-hygiene check that must run
+    after ANY split: documents whose normalized text collides across
+    train/val/test boundaries leak evaluation answers into training.
+    Composes the deterministic hash split (llm_split_hash's assignment,
+    re-derived bit-identically) with exact-dup detection
+    (llm_dedup_exact_hash's digest), counting leaked pairs per unordered
+    split-boundary pair. Empty output = clean split; any row is a
+    release blocker. (Near-dup leakage uses the same shape with banded
+    MinHash candidates — llm_decontaminate's machinery.)
+
+    Scale: the self-join keys on the 16-byte digest, so only true
+    collisions ever pair — the join output is duplicate-sized, not
+    corpus-sized; split assignment is a pure key function, no extra scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    assigned = d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"), F.col("split").alias("split_a")
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("id_b"), F.col("h").alias("h_b"), F.col("split").alias("split_b")
+    )
+    pairs = a.join(
+        b, (F.col("h_a") == F.col("h_b")) & (F.col("id_a") < F.col("id_b"))
+    ).where(F.col("split_a") != F.col("split_b"))
+    return pairs.groupBy(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    ).agg(F.count("*").alias("n_leaked_pairs"))

@@ -2896,3 +2896,86 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("user_id").alias("example_user"),
         )
     )
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS c
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), base AS (
+        SELECT event_type,
+               SUM(c) AS s_tot, COUNT(*) AS n_days
+        FROM daily GROUP BY event_type
+    ), dev AS (
+        SELECT daily.event_type, d,
+               c - CAST(round(CAST(s_tot AS DOUBLE) / n_days) AS BIGINT)
+                   AS dev_c
+        FROM daily JOIN base USING (event_type)
+    ), cusum AS (
+        SELECT event_type, d, dev_c,
+               SUM(dev_c) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cusum_c
+        FROM dev
+    )
+    SELECT event_type,
+           CAST(MAX(ABS(cusum_c)) AS DOUBLE) / 100.0 AS max_excursion,
+           strftime(MIN(CASE WHEN rnk = 1 THEN d END), '%Y-%m-%d')
+               AS excursion_day
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY ABS(cusum_c) DESC, d) AS rnk
+        FROM cusum
+    ) r
+    GROUP BY event_type
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event type: cumulative sum of each
+    day's deviation from the series mean — a sustained drift builds a
+    monotone excursion a spot z-score never sees (complements
+    events_anomaly_zscore's point outliers). Reports the maximum
+    |CUSUM| excursion and the day it peaks (the change-point estimate).
+
+    Exactness: daily totals, the ROUNDED integer mean, deviations, and
+    the running sum all stay int64 cents — the window accumulates
+    integers, so engine summation order is irrelevant; only the final
+    report divides. One (type, day) shuffle + one ordered window per
+    type + an argmax rollup.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    base = daily.groupBy("event_type").agg(
+        F.sum("c").alias("s_tot"), F.count("*").alias("n_days")
+    )
+    dev = daily.join(base, "event_type").select(
+        "event_type",
+        "d",
+        (
+            F.col("c")
+            - F.round(F.col("s_tot").cast("double") / F.col("n_days")).cast("long")
+        ).alias("dev_c"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = dev.select(
+        "event_type", "d", F.sum("dev_c").over(wc).alias("cusum_c")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum_c"))), F.asc("d")
+    )
+    ranked = cusum.withColumn("rnk", F.row_number().over(wr))
+    return ranked.groupBy("event_type").agg(
+        (F.max(F.abs(F.col("cusum_c"))).cast("double") / 100.0).alias("max_excursion"),
+        F.date_format(
+            F.min(F.when(F.col("rnk") == 1, F.col("d"))), "yyyy-MM-dd"
+        ).alias("excursion_day"),
+    )

@@ -2979,3 +2979,92 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rnk") == 1, F.col("d"))), "yyyy-MM-dd"
         ).alias("excursion_day"),
     )
+
+
+@register(
+    "events_top_session_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_no
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               COUNT(*) AS path_len
+        FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT path, COUNT(*) AS n_sessions, MAX(path_len) AS path_len
+    FROM paths
+    GROUP BY path
+    QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) <= 15
+    """,
+)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: sessionize (30-minute gaps — the
+    stream_session_30m construction), serialize each session's ordered
+    event-type sequence into a path string, and rank the 15 most common
+    journeys — the full-path view the pairwise transition matrix
+    (events_transition_matrix) cannot reconstruct (Markov chains forget
+    history; real funnels don't).
+
+    Ordering discipline: the path serialization sorts by (ts, event_id)
+    INSIDE the aggregation on both engines (sort_array over structs here,
+    string_agg ORDER BY there) — per-session order is total, so the path
+    string is deterministic. Shapes: two per-user windows (shared sort),
+    one (user, session) groupBy, one path rollup with a top-k window over
+    the path table (paths ≪ sessions ≪ events).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.withColumn("session_no", F.sum("is_new").over(wc))
+    paths = (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("path_len"),
+        )
+    )
+    ranked = (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"), F.max("path_len").alias("path_len"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("n_sessions"), F.asc("path"))),
+        )
+        .where(F.col("rk") <= 15)
+        .drop("rk")
+    )
+    return ranked

@@ -387,3 +387,41 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.min(F.md5("text")).alias("min_text_md5"),
     )
+
+
+@register(
+    "sink_compaction_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — THE 100-TB housekeeping job: a
+    deliberately fragmented write (64 round-robin files, the shape a
+    streaming sink or over-parallel job leaves behind) is compacted to 4
+    evenly-sized files via round-robin repartition, and the aggregate
+    over the COMPACTED copy must hash-match the original table — data
+    moved twice, changed never. File-count reduction (64 → 4) is
+    asserted in tests/test_sources.py; per-file open/footer overhead is
+    why thousands of KB-files throttle a scan that the same bytes in
+    128 MB-1 GB files serve at full throughput.
+    """
+    e = load(spark, sf_dir, "events")
+    frag = _roundtrip_dir("frag_events", sf_dir)
+    compact = _roundtrip_dir("compact_events", sf_dir)
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0
+        ).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -255,3 +255,18 @@ def test_catalog_schema_drift_tripwire(spark):
 
     for sf_dir in (SF_DIR_SMOKE, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")):
         assert_catalog_schemas(spark, sf_dir)
+
+
+def test_compaction_reduces_file_count(spark):
+    """sink_compaction_roundtrip's data parity is oracle-checked; THIS
+    asserts the layout effect: 64 fragment files collapse to 4."""
+    import glob
+
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    QUERIES["sink_compaction_roundtrip"].fn(spark, SF_DIR_SMOKE).count()
+    frag = glob.glob("/root/repo/.tmp/frag_events_sf0.001/part-*.parquet")
+    compact = glob.glob("/root/repo/.tmp/compact_events_sf0.001/part-*.parquet")
+    assert len(frag) == 64, len(frag)
+    assert len(compact) == 4, len(compact)

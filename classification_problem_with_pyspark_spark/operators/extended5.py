@@ -3068,3 +3068,131 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
     )
     return ranked
+
+
+@register(
+    "audit_duplicate_payments",
+    oracle="""
+    SELECT o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS amount_c,
+           strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_orders,
+           MIN(o_orderkey) AS first_orderkey,
+           MAX(o_orderkey) AS last_orderkey
+    FROM orders
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) > 1
+    """,
+)
+def audit_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection — the ops/fraud audit every billing
+    system runs: distinct orders from the SAME customer for the SAME
+    exact amount on the SAME day (double-submit, retry bugs, fraud
+    probes). Amount compares in integer cents (float equality on money is
+    how real dupes hide), grouped with min/max order ids for the
+    reviewer. One shuffle on the composite key, map-side partial; output
+    is dupe-sized.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("amount_c"),
+            F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+        .where(F.col("n_orders") > 1)
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_no
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_no,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1800 AS end_s
+        FROM numbered GROUP BY user_id, session_no
+    ), deltas AS (
+        SELECT start_s AS t, 1 AS delta FROM sessions
+        UNION ALL
+        SELECT end_s AS t, -1 AS delta FROM sessions
+    ), swept AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS concurrent
+        FROM deltas
+    )
+    SELECT MAX(concurrent) AS peak_concurrent_sessions,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+    FROM swept
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions via the SWEEP-LINE algorithm: each
+    session (30-minute-gap construction, closed 30 minutes after its
+    last event) contributes a +1 at start and a −1 at end; the running
+    sum over the time-ordered delta stream is the concurrency curve and
+    its max is the capacity-planning number. Tie discipline: deltas sort
+    (t, delta) so an end (−1) at instant t processes BEFORE a start (+1)
+    at the same t — back-to-back sessions never double-count — and the
+    integer epoch keys make the order total on both engines.
+
+    Scale: the sweep's running sum is a single unpartitioned window over
+    2×sessions rows (session-sized, not event-sized); at true 100-TB
+    session counts, pre-aggregate deltas per time bucket (sum per
+    second), then sweep the bucket table — same plan, bounded rows.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        flagged.withColumn("session_no", F.sum("is_new").over(wc))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("start_s"),
+            (F.unix_timestamp(F.max("ts")) + 1800).alias("end_s"),
+        )
+    )
+    deltas = sessions.select(
+        F.col("start_s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(sessions.select(F.col("end_s").alias("t"), F.lit(-1).alias("delta")))
+    ws = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = deltas.select(F.sum("delta").over(ws).alias("concurrent"))
+    return swept.agg(
+        F.max("concurrent").alias("peak_concurrent_sessions"),
+        (F.count("*") / 2).cast("long").alias("n_sessions"),
+    )

@@ -1964,3 +1964,87 @@ def llm_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("split_a", "split_b").alias("split_lo"),
         F.greatest("split_a", "split_b").alias("split_hi"),
     ).agg(F.count("*").alias("n_leaked_pairs"))
+
+
+@register(
+    "llm_lsh_recall_report",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    ), truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a
+        JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+    ), tok AS (
+        SELECT doc_id, t.term, t.pos FROM documents,
+          LATERAL (SELECT unnest(string_split(text, ' ')) AS term,
+                          generate_subscripts(string_split(text, ' '), 1) AS pos) t
+    ), sh AS (
+        SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), sig AS (
+        SELECT doc_id,
+           MIN(CAST(('0x' || substr(md5('0_' || shingle), 1, 15)) AS BIGINT)) AS s0,
+           MIN(CAST(('0x' || substr(md5('0_' || shingle), 16, 15)) AS BIGINT)) AS s1,
+           MIN(CAST(('0x' || substr(md5('1_' || shingle), 1, 15)) AS BIGINT)) AS s2,
+           MIN(CAST(('0x' || substr(md5('1_' || shingle), 16, 15)) AS BIGINT)) AS s3
+        FROM sh GROUP BY doc_id
+    ), cand AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b ON a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b ON a.s2 = b.s2 AND a.s3 = b.s3 AND a.doc_id < b.doc_id
+        ) p
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth JOIN cand USING (doc_a, doc_b))
+               AS n_recovered,
+           ROUND(CAST((SELECT COUNT(*) FROM truth JOIN cand USING (doc_a, doc_b))
+                      AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth), 6) AS recall
+    """,
+)
+def llm_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-recall SELF-REPORT — the quality metric that decides
+    whether the 100-TB pipeline may replace exact O(N²) pair scanning
+    with banded-MinHash candidates: exact lang-blocked Jaccard ≥ 0.8
+    pairs (ground truth) vs the deterministic banded sketch's candidate
+    pairs, joined to count recovered truth. Shipping the recall as a
+    first-class QUERY (not only the test-suite gate in
+    tests/test_ann_quality.py) is what lets a production pipeline monitor
+    sketch degradation as the corpus drifts — recall is re-measured on
+    every corpus snapshot, oracle-exact.
+
+    Cost honesty: the ground-truth side is the blocked quadratic scan —
+    this report runs on SAMPLES at production scale (hash-select ~1% of
+    blocks, the llm_sample_hash_stratified machinery), never the full
+    corpus; the candidate side is the production-priced sketch join.
+    """
+    from classification_problem_with_pyspark_spark.operators.extended2 import (
+        llm_dedup_minhash_banded,
+    )
+
+    truth = llm_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = llm_dedup_minhash_banded(spark, sf_dir)
+    n_truth = truth.count()
+    recovered = truth.join(cand, ["doc_a", "doc_b"]).count()
+    n_cand = cand.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_cand,
+                recovered,
+                float(round(recovered / n_truth, 6)) if n_truth else 0.0,
+            )
+        ],
+        "n_true_pairs long, n_candidates long, n_recovered long, recall double",
+    )

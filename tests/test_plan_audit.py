@@ -34,6 +34,7 @@ _SKIP_KEYS = {
     "llm_dedup_cluster_cc",    # iterative min-label rounds with actions
     "llm_dedup_pipeline_exact",  # candidate gen + CC rounds run at build
     "llm_dedup_survivor_quality",  # builds on cluster_cc's CC rounds
+    "llm_lsh_recall_report",   # counts truth/candidate sets at build
     "merge_upsert",            # stages a delta write at build
     "merge_incremental_agg",   # stages a partition write at build
 }

@@ -103,7 +103,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_30m",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR date_diff('second', LAG(ts) OVER w, ts) > 1800
                     THEN 1 ELSE 0 END AS is_new_session
@@ -111,13 +111,13 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT *, SUM(is_new_session) OVER (PARTITION BY user_id
-                                            ORDER BY ts
+                                            ORDER BY ts, event_id
                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS session_no
         FROM flagged
     )
     SELECT user_id,
-           session_no,
+           CAST(session_no AS BIGINT) AS session_no,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS event_cnt,
@@ -136,9 +136,12 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # (ts, event_id) — ts alone is nondeterministic under timestamp ties:
+    # the session number a tied row gets would depend on partition-internal
+    # order (VERDICT r2 "What's wrong #3").
     wcum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_ts = F.lag("ts").over(worder)
@@ -630,9 +633,12 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flags GROUP BY wk
     )
     SELECT strftime(wk, '%Y-%m-%d') AS week,
-           n_active, n_new, n_retained, n_resurrected,
-           COALESCE(LAG(n_active) OVER (ORDER BY wk), 0) - n_retained
-               AS n_churned_from_prev
+           n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_retained AS BIGINT) AS n_retained,
+           CAST(n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(LAG(n_active) OVER (ORDER BY wk), 0) - n_retained
+               AS BIGINT) AS n_churned_from_prev
     FROM weekly
     """,
 )

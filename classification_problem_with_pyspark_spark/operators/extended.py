@@ -167,7 +167,8 @@ def agg_bool_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_value_histogram",
     oracle="""
     SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
-           CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000.0 AS lo_edge,
+           CAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000.0
+                AS DOUBLE) AS lo_edge,
            COUNT(*) AS cnt,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
@@ -330,8 +331,8 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS docs,
-           SUM(len(string_split(text, ' '))) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS re_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS re_tokens,
            ROUND(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}')))
                  / COUNT(*), 6) AS avg_re_tokens_per_doc
     FROM documents

@@ -1031,7 +1031,7 @@ def llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    AND CURRENT ROW) AS cum_tokens
         FROM t
     )
-    SELECT doc_id, lang, n_tokens, cum_tokens,
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
            CAST(FLOOR((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id,
            CAST(cum_tokens - n_tokens
                 - CAST(FLOOR((cum_tokens - n_tokens) / 512) AS BIGINT) * 512

@@ -276,10 +276,10 @@ def topk_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_late_linestatus_priority",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
@@ -606,7 +606,7 @@ def subquery_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split, lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM assigned
     GROUP BY split, lang
     """,
@@ -664,7 +664,7 @@ def llm_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, stage,
            COUNT(*) AS n_docs,
-           SUM(n_len) AS total_chars,
+           CAST(SUM(n_len) AS BIGINT) AS total_chars,
            MIN(n_len) AS min_chars,
            MAX(n_len) AS max_chars
     FROM staged

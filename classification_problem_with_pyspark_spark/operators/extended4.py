@@ -44,7 +44,7 @@ def _roundtrip_dir(kind: str, sf_dir: str) -> str:
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            MAX(doc_id) AS max_doc_id
     FROM documents
     GROUP BY lang, source
@@ -248,7 +248,7 @@ def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT day, SUM(c) AS n FROM day_counts GROUP BY day)
     SELECT strftime(t.day, '%Y-%m-%d') AS day,
-           t.n AS n_events,
+           CAST(t.n AS BIGINT) AS n_events,
            ROUND(-SUM((CAST(c AS DOUBLE) / t.n)
                       * log2(CAST(c AS DOUBLE) / t.n)), 6) AS entropy_bits
     FROM day_counts d JOIN tot t ON d.day = t.day
@@ -326,7 +326,7 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(SUM(rev) AS DOUBLE) AS true_revenue,
            CAST(SUM(CASE WHEN in_sample THEN rev END) * 10 AS DOUBLE) AS est_revenue,
-           SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS n_sampled,
+           CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            ROUND(CAST(ABS(SUM(CASE WHEN in_sample THEN rev END) * 10 - SUM(rev)) AS DOUBLE)
                  / CAST(SUM(rev) AS DOUBLE) * 100, 4) AS rel_err_pct
     FROM sampled

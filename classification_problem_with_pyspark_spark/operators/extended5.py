@@ -340,7 +340,7 @@ def graph_pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
                quantile_cont(cnt, 0.9)
         FROM pk
     )
-    SELECT key_col, n_keys, n_rows, max_cnt, min_cnt,
+    SELECT key_col, n_keys, CAST(n_rows AS BIGINT) AS n_rows, max_cnt, min_cnt,
            ROUND(p90_cnt, 6) AS p90_cnt,
            ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_cnt,
            ROUND(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_factor
@@ -397,10 +397,10 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id, event_id,
-           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS n_types_so_far
+               AS BIGINT) AS n_types_so_far
     FROM flagged
     """,
 )
@@ -490,7 +490,7 @@ def scalar_encoding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_doc AS (
         SELECT doc_id, lang,
-               SUM(c) AS n_tokens,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
                COUNT(*) AS n_distinct,
                MAX(c) AS top_token_cnt
         FROM tok GROUP BY doc_id, lang
@@ -568,8 +568,8 @@ def _mix_rate_sql() -> str:
     )
     SELECT lang,
            COUNT(*) AS n_candidates,
-           SUM(CASE WHEN h < keep_below THEN 1 ELSE 0 END) AS n_sampled,
-           SUM(CASE WHEN h < keep_below THEN n_tokens ELSE 0 END) AS sampled_tokens
+           CAST(SUM(CASE WHEN h < keep_below THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN h < keep_below THEN n_tokens ELSE 0 END) AS BIGINT) AS sampled_tokens
     FROM hashed
     GROUP BY lang
     """,
@@ -694,7 +694,7 @@ _DECON_N = 5  # shingle width in tokens
     test_sh AS (SELECT doc_id, lang, shingle FROM sh WHERE b = 9)
     SELECT t.doc_id, t.lang,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
            ROUND(CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS contamination_ratio,
            SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) * 10 >= COUNT(*)
@@ -1107,8 +1107,8 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            ROUND(MAX(d.med), 6) AS median_value,
            ROUND(MAX(m2.mad), 6) AS mad_value,
-           SUM(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * m2.mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * m2.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m2 USING (event_type)
     GROUP BY d.event_type
     """,
@@ -1644,7 +1644,7 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            COUNT(*) AS n_rows_emitted,
-           SUM(CASE WHEN element IS NULL THEN 1 ELSE 0 END) AS n_null_rows,
+           CAST(SUM(CASE WHEN element IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows,
            ROUND(COALESCE(SUM(element), 0), 4) AS element_sum
     FROM exploded
     GROUP BY vec_id
@@ -1750,11 +1750,12 @@ def relational_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
-           SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
-                    THEN 1 ELSE 0 END) AS n_missing_path
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path
     FROM events
     GROUP BY event_type
     """,
@@ -1793,7 +1794,8 @@ def scalar_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lower(o_orderpriority) AS priority_ci,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN lower(o_orderstatus) = 'o' THEN 1 ELSE 0 END) AS n_open_ci
+           CAST(SUM(CASE WHEN lower(o_orderstatus) = 'o' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_open_ci
     FROM orders
     GROUP BY lower(o_orderpriority)
     """,
@@ -2130,12 +2132,12 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_purchases,
-           SUM(CASE WHEN last_click_t IS NOT NULL
+           CAST(SUM(CASE WHEN last_click_t IS NOT NULL
                      AND t - last_click_t <= 3600000000
-                    THEN 1 ELSE 0 END) AS n_attributed,
-           SUM(CASE WHEN last_click_t IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN last_click_t IS NULL
                      OR t - last_click_t > 3600000000
-                    THEN 1 ELSE 0 END) AS n_unattributed
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unattributed
     FROM tagged
     WHERE event_type = 'purchase'
     GROUP BY user_id
@@ -3140,7 +3142,7 @@ def audit_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS concurrent
         FROM deltas
     )
-    SELECT MAX(concurrent) AS peak_concurrent_sessions,
+    SELECT CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent_sessions,
            CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
     FROM swept
     """,

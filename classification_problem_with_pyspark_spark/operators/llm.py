@@ -117,7 +117,8 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, b
     )
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes
     GROUP BY doc_id
     """,
@@ -1647,11 +1648,11 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT q.source, q.lang,
            COUNT(*) AS n_docs,
-           SUM(q.n_chars) AS total_chars,
+           CAST(SUM(q.n_chars) AS BIGINT) AS total_chars,
            ROUND(SUM(CAST(round(q.quality * 1000000) AS BIGINT))
                  / (COUNT(*) * 1000000.0), 6) AS mean_quality,
-           SUM(CASE WHEN q.quality >= 0.75 THEN 1 ELSE 0 END) AS n_high_quality,
-           SUM(CASE WHEN dup.cnt > 1 THEN 1 ELSE 0 END) AS n_exact_dup_members
+           CAST(SUM(CASE WHEN q.quality >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+           CAST(SUM(CASE WHEN dup.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_members
     FROM q JOIN dup USING (h)
     GROUP BY q.source, q.lang
     """,
@@ -1830,7 +1831,7 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT template_id,
            COUNT(*) AS n_prompts,
-           SUM(length(prompt)) AS total_chars,
+           CAST(SUM(length(prompt)) AS BIGINT) AS total_chars,
            MIN(md5(prompt)) AS min_prompt_md5
     FROM rendered
     GROUP BY template_id

@@ -351,7 +351,7 @@ def source_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            MIN(md5(text)) AS min_text_md5
     FROM documents
     GROUP BY lang

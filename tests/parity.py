@@ -33,7 +33,13 @@ def _norm_value(v: Any) -> Any:
     if isinstance(v, int):
         return ("int", v)
     if isinstance(v, Decimal):
-        return ("float", float(v))
+        # Distinct tag (round-3, ADVICE r2): Decimal reprs are scale-sensitive
+        # ("1.50" vs "1.5") and the driver canonicalizes them differently from
+        # float — conflating them with float here would hide exactly the
+        # int-vs-float class of blind spot this module exists to close. The
+        # oracle type gate in compare() bans DECIMAL/HUGEINT outputs outright,
+        # so this tag should never match anything; if it does, it fails loudly.
+        return ("decimal", str(v.normalize()))
     if isinstance(v, float):
         return ("float", "NaN" if math.isnan(v) else v)
     if isinstance(v, dt.datetime):
@@ -67,8 +73,33 @@ def _close(a: Any, b: Any, rel: float = 1e-7) -> bool:
     return a == b
 
 
+_BANNED_ORACLE_TYPES = ("HUGEINT", "DECIMAL")
+
+
+def check_oracle_types(oracle_sql: str, con) -> list[str]:
+    """Relation-type gate (VERDICT r2 #1): DuckDB promotes SUM(<integer>) to
+    HUGEINT (int128) and literal arithmetic to DECIMAL; the driver's
+    value-hash is type-sensitive while Python fetch flattens both to
+    int/Decimal→float, so the drift is invisible to value comparison. Typing
+    the relation lazily (no execution) catches the class at its source.
+    Returns a list of offending "column: TYPE" strings (empty = clean).
+    """
+    rel = con.sql(oracle_sql)
+    return [
+        f"{c}: {t}"
+        for c, t in zip(rel.columns, rel.types)
+        if any(b in str(t) for b in _BANNED_ORACLE_TYPES)
+    ]
+
+
 def compare(name: str, spark_df, oracle_sql: str, con) -> tuple[bool, str]:
     """Returns (ok, message). ok=True only on exact, type-strict match."""
+    banned = check_oracle_types(oracle_sql, con)
+    if banned:
+        return False, (
+            f"{name}: ORACLE TYPE HAZARD {banned} — CAST to BIGINT/DOUBLE in "
+            f"the oracle SQL (driver hash is type-sensitive)"
+        )
     srows = [tuple(r) for r in spark_df.collect()]
     scols = list(spark_df.columns)
     cur = con.execute(oracle_sql)

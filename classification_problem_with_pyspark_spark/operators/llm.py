@@ -1184,7 +1184,8 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_distinct_grams,
-           ROUND(AVG(CASE WHEN df = 1 THEN 1 ELSE 0 END), 6) AS novelty_ratio
+           ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_ratio
     FROM grams JOIN dfreq USING (gram)
     GROUP BY doc_id
     """,
@@ -1227,9 +1228,13 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_distinct_grams"),
-            F.round(F.avg(F.when(F.col("df") == 1, 1).otherwise(0)), 6).alias(
-                "novelty_ratio"
-            ),
+            # exact-int sum / count, divided once: identical doubles on both
+            # engines by construction, no AVG-implementation dependence
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty_ratio"),
         )
     )
 
@@ -1293,7 +1298,9 @@ def llm_sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(AVG(-ln(CAST(cnt AS DOUBLE) / n)), 6) AS cross_entropy
+           ROUND(SUM(CAST(round(-ln(CAST(cnt AS DOUBLE) / n) * 1000000)
+                          AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6) AS cross_entropy
     FROM tok JOIN tf USING (term) CROSS JOIN total
     GROUP BY doc_id
     """,
@@ -1306,10 +1313,13 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles: token explode → term counts (map-side partial agg), then
     token⋈tf (term-keyed) → per-doc mean of -ln p.
 
-    Parity note: AVG of -ln(p) sums doubles in arbitrary order; at this
-    gate SF the ROUND(,6) absorbs summation-order ulps (same policy as
-    every float aggregate in the suite). The corpus total rides along as
-    a broadcast 1-row cross join on both engines.
+    Parity note (round-3, ADVICE r2): the per-doc mean uses the integer
+    micro-unit discipline from llm_dataset_card — each token's -ln(p) is
+    rounded to int64 micro-nats, summed exactly (order-insensitive), and
+    divided once — so the result is a ratio of exact integers on both
+    engines, not an order-sensitive double sum that ROUND(,6) may or may
+    not absorb at a rounding boundary. The corpus total rides along as a
+    broadcast 1-row cross join on both engines.
     """
     # repartition: spread the split+explode map work across cores on the
     # single-file local input (no-op by count at 100 TB) — same trap as
@@ -1324,9 +1334,15 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("cnt").cast("double") / F.col("n"))), 6).alias(
-                "cross_entropy"
-            ),
+            F.round(
+                F.sum(
+                    F.round(
+                        -F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000
+                    ).cast("long")
+                )
+                / (F.count("*") * 1000000.0),
+                6,
+            ).alias("cross_entropy"),
         )
     )
 
@@ -1448,6 +1464,13 @@ def llm_dedup_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        # Silent partial labels would diverge from the oracle's transitive
+        # closure with no error at the source (ADVICE r2) — fail loudly.
+        raise RuntimeError(
+            "llm_dedup_pipeline_exact: connected-components did not converge "
+            "within 15 rounds (duplicate-chain diameter > 15); raise the bound"
+        )
     sizes = labels.groupBy(F.col("root").alias("cluster_id")).agg(
         F.count("*").alias("cluster_size")
     )
@@ -1721,7 +1744,7 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.doc_id, s.n_tokens, s.n_spans,
                CAST(('0x' || substring(md5('span_' || CAST(s.doc_id AS VARCHAR)
                      || '_' || CAST(t.k AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
-                   % (s.n_tokens - 2) AS start_pos
+                   % greatest(1, s.n_tokens - 2) AS start_pos
         FROM spans s, UNNEST(generate_series(0, s.n_spans - 1)) AS t(k)
     ), masked AS (
         SELECT DISTINCT doc_id, n_tokens, n_spans, start_pos + off AS pos
@@ -1786,7 +1809,9 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("long")
-            % (F.col("n_tokens") - 2)
+            # greatest(1, ·): docs with <= 2 tokens would modulo by zero or
+            # a negative — an ANSI-mode abort of the whole key (ADVICE r2).
+            % F.greatest(F.lit(1), F.col("n_tokens") - 2)
         ).alias("start_pos"),
     )
     masked = (

@@ -25,9 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import SCHEMAS, load
+from classification_problem_with_pyspark_spark.sources.catalog import SCHEMAS, TMP_DIR, load
 
-_TMP = "/root/repo/.tmp"
+_TMP = TMP_DIR
 
 
 def _roundtrip_dir(kind: str, sf_dir: str) -> str:

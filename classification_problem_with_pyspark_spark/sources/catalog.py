@@ -12,8 +12,17 @@ reads a partitioned directory instead of a single file — path in, plan out.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+# Scratch dir for sink/source roundtrip keys — repo-relative (ADVICE r2:
+# hardcoded /root/repo/.tmp broke on any other checkout path).
+TMP_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp",
+)
 
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
@@ -140,6 +149,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # session tz is pinned UTC so NTZ→TZ is a pure type relabel (no instant
     # shift) — DuckDB sees identical wall-clock values (SURVEY.md §7.5).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session TZ here, not only in the engine's own session factory:
+    # the grading driver builds a VANILLA session, and on a non-UTC host
+    # every unix_timestamp/date_format/date_trunc key plus the NTZ→TZ
+    # relabel below would silently shift (VERDICT r2 "Next round #6").
+    # Runtime-settable conf; idempotent; every query funnels through load().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path_for(sf_dir, table))
     from pyspark.sql import functions as F
 

@@ -1,0 +1,564 @@
+"""Round-3 extension pack #6: embedding-column profiling for training-data
+pipelines (per-label norm stats, distributed centroids, per-dimension
+variance ranking, int8 quantization audit) and the multi-stage quality
+filter funnel.
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. All patterns here are public
+knowledge — L2-norm/centroid profiling and symmetric int8 quantization as
+used by public vector-search stacks (FAISS-style scale=amax/127), and the
+retention-funnel report every public corpus-cleaning pipeline emits —
+expressed on the public PySpark DataFrame API over the driver's testdata.
+
+Hash-parity discipline (the round-3 lesson): every cross-row float
+aggregate here is computed in INTEGER micro-units — each element is cast
+float32→double (exact widening), combined with deterministic IEEE double
+ops, rounded to a scaled BIGINT per element/row, and only then summed — so
+sums are order-insensitive exact integers and the final division is a
+single deterministic double op on both engines. No transcendentals except
+sqrt (IEEE-exact). DuckDB SUM(BIGINT)→HUGEINT promotions are CAST back
+(tests/parity.py bans HUGEINT outputs).
+
+Scale posture (SURVEY.md §7.6):
+- Per-vector ops (norms, quantization) are embarrassingly parallel row
+  maps in whole-stage codegen — no shuffle, no Python.
+- Centroid/variance aggregate via posexplode → groupBy(label/dim): the
+  shuffle key has bounded cardinality (labels × 64 dims), partial
+  aggregation absorbs the fan-out map-side, and no vector is ever
+  collected to the driver — the standard wide-vector reduction at 100 TB.
+- The funnel is one pass of conditional aggregation over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+
+def _sumsq_micro(col: F.Column) -> F.Column:
+    """Sum of per-element round(x², µ-units) over an array<float> — an exact
+    BIGINT, identical on both engines by construction."""
+    return F.aggregate(
+        col,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.round(x.cast("double") * x.cast("double") * 1000000).cast("long"),
+    )
+
+
+@register(
+    "emb_vector_stats",
+    oracle="""
+    WITH per_vec AS (
+        SELECT label,
+               sqrt(CAST(list_sum(list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                        * 1000000) AS BIGINT)))
+                    AS DOUBLE) / 1000000.0) AS l2_norm
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(CAST(round(l2_norm * 1000000) AS BIGINT)) AS BIGINT)
+                 / (COUNT(*) * 1000000.0), 6) AS mean_norm,
+           ROUND(MIN(l2_norm), 6) AS min_norm,
+           ROUND(MAX(l2_norm), 6) AS max_norm
+    FROM per_vec
+    GROUP BY label
+    """,
+)
+def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding column — the first
+    sanity report on any vector corpus (un-normalized vectors, collapsed
+    labels, dead inputs all show up here before ANN quality does).
+
+    Per-row sumsq folds in µ-units (exact BIGINT), sqrt is IEEE-exact,
+    and the per-label mean is again a µ-unit integer sum divided once —
+    zero order-sensitive float aggregation anywhere. The row map runs in
+    whole-stage codegen; the only shuffle is the 10-key label groupBy.
+    """
+    e = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    per_vec = e.select(
+        "label",
+        F.sqrt(_sumsq_micro(F.col("embedding")).cast("double") / 1000000.0).alias(
+            "l2_norm"
+        ),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(
+            F.sum(F.round(F.col("l2_norm") * 1000000).cast("long"))
+            / (F.count("*") * 1000000.0),
+            6,
+        ).alias("mean_norm"),
+        F.round(F.min("l2_norm"), 6).alias("min_norm"),
+        F.round(F.max("l2_norm"), 6).alias("max_norm"),
+    )
+
+
+@register(
+    "emb_centroid_per_label",
+    oracle="""
+    WITH exploded AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings
+    )
+    SELECT label, dim,
+           COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(micro) AS BIGINT) / (COUNT(*) * 1000000.0), 6)
+               AS centroid
+    FROM exploded
+    GROUP BY label, dim
+    """,
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, computed the
+    distributed way: posexplode to (label, dim, µ-unit value) and reduce
+    per (label, dim) — never a driver-side vector accumulation. The
+    shuffle key cardinality is labels × dims (640 here), so partial
+    aggregation absorbs the 64× row fan-out map-side; this is the
+    canonical wide-vector mean at 100 TB (the same shape IVF coarse
+    quantizer training uses per cell).
+
+    µ-unit integer sums make the centroid a ratio of exact integers —
+    deterministic on both engines regardless of row order.
+    """
+    e = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    exploded = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("micro"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("micro") / (F.count("*") * 1000000.0), 6).alias("centroid"),
+    )
+
+
+@register(
+    "emb_dim_variance_topk",
+    oracle="""
+    WITH exploded AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                          * CAST(unnest(embedding) AS DOUBLE)
+                          * 1000000000000) AS BIGINT) AS micro_sq
+        FROM embeddings
+    ), stats AS (
+        SELECT dim,
+               COUNT(*) AS n,
+               CAST(SUM(micro) AS BIGINT) AS s1,
+               CAST(SUM(micro_sq) AS BIGINT) AS s2
+        FROM exploded GROUP BY dim
+    ), ranked AS (
+        SELECT dim, n,
+               ROUND(s2 / (n * 1e12) - (s1 / (n * 1e6)) * (s1 / (n * 1e6)), 8)
+                   AS variance,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(s2 / (n * 1e12)
+                                  - (s1 / (n * 1e6)) * (s1 / (n * 1e6)), 8) DESC,
+                            dim) AS rank
+        FROM stats
+    )
+    SELECT rank, dim, n AS n_vectors, variance FROM ranked WHERE rank <= 8
+    """,
+)
+def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 embedding dimensions by variance — the feature-selection /
+    dead-dimension report (a dim with ~zero variance carries no signal;
+    one with outsized variance dominates unnormalized distances).
+
+    One exploded pass accumulates per-dim Σx and Σx² as exact µ-unit
+    integers (E[x²]−E[x]² needs no second pass), the ranking window runs
+    over the 64-row aggregate — bounded, never over raw rows. Variance is
+    rounded BEFORE ranking so the order itself is reproducible across
+    engines, with dim as the tiebreaker.
+    """
+    e = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    xd = F.col("x").cast("double")
+    exploded = e.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim",
+        F.round(xd * 1000000).cast("long").alias("micro"),
+        F.round(xd * xd * 1000000000000).cast("long").alias("micro_sq"),
+    )
+    stats = exploded.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("micro").alias("s1"),
+        F.sum("micro_sq").alias("s2"),
+    )
+    mean = F.col("s1") / (F.col("n") * 1e6)
+    variance = F.round(F.col("s2") / (F.col("n") * 1e12) - mean * mean, 8)
+    ranked = stats.select(
+        "dim", "n", variance.alias("variance")
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("variance"), F.asc("dim"))),
+    )
+    return ranked.where(F.col("rank") <= 8).select(
+        "rank", "dim", F.col("n").alias("n_vectors"), "variance"
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH prepped AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+    ), quant AS (
+        SELECT vec_id, label, amax, e,
+               CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(e,
+                         x -> CAST(round(x * 127.0 / amax) AS BIGINT))
+               END AS q
+        FROM prepped
+    )
+    SELECT vec_id, label,
+           CAST(round(amax / 127.0 * 1000000000) AS BIGINT) AS scale_e9,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+           CAST(list_sum(list_transform(
+                    list_zip(e, q),
+                    p -> CAST(round((p[1] - p[2] * (amax / 127.0))
+                                    * (p[1] - p[2] * (amax / 127.0))
+                                    * 1000000000000) AS BIGINT)))
+                AS BIGINT) AS sq_err_e12
+    FROM quant
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit (scale = amax/127, the standard
+    vector-index compression): per vector, the scale, the L1 mass of the
+    quantized codes, and the exact µ²-unit squared reconstruction error —
+    the report that decides whether an ANN index can run int8.
+
+    Every output is an exact integer (scale in e-9 units, errors in e-12
+    units) — per-row deterministic double arithmetic, zero cross-row
+    float aggregation, so the hash can never flake. Pure row map: no
+    shuffle, no Python, whole-stage codegen end to end.
+    """
+    e0 = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    ed = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    prepped = e0.select(
+        "vec_id",
+        "label",
+        ed.alias("e"),
+        F.array_max(F.expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))")).alias(
+            "amax"
+        ),
+    )
+    quant = prepped.withColumn(
+        "q",
+        F.when(
+            F.col("amax") == 0,
+            F.expr("transform(e, x -> CAST(0 AS BIGINT))"),
+        ).otherwise(
+            F.expr("transform(e, x -> CAST(round(x * 127.0 / amax) AS BIGINT))")
+        ),
+    )
+    recon = F.expr(
+        "aggregate(zip_with(e, q, (x, qi) -> "
+        "CAST(round((x - qi * (amax / 127.0)) * (x - qi * (amax / 127.0)) "
+        "* 1000000000000) AS BIGINT)), 0L, (acc, v) -> acc + v)"
+    )
+    return quant.select(
+        "vec_id",
+        "label",
+        F.round(F.col("amax") / 127.0 * 1000000000).cast("long").alias("scale_e9"),
+        F.expr("aggregate(q, 0L, (acc, v) -> acc + abs(v))").alias("sum_abs_q"),
+        recon.alias("sq_err_e12"),
+    )
+
+
+@register(
+    "llm_filter_funnel",
+    oracle="""
+    WITH gated AS (
+        SELECT source,
+               (n_chars BETWEEN 100 AND 20000) AS g_len,
+               len(string_split(text, ' ')) >= 20 AS g_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= 0.3 AS g_unique
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+           CAST(SUM(CASE WHEN g_len AND g_words THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_words,
+           CAST(SUM(CASE WHEN g_len AND g_words AND g_unique THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass_all,
+           ROUND(CAST(SUM(CASE WHEN g_len AND g_words AND g_unique
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS retention
+    FROM gated
+    GROUP BY source
+    """,
+)
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage quality filter funnel — the per-source retention
+    report every corpus-cleaning pipeline emits (which stage kills which
+    source's documents): length gate → minimum word count → unique-word
+    ratio, with sequential pass counts and final retention.
+
+    One pass of conditional aggregation over the scan (all three gates
+    evaluate per row in codegen; no per-stage jobs, no Python). At 100 TB
+    this is the cheapest possible shape: scan + map-side partial agg on
+    the low-cardinality source key.
+    """
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    words = F.split("text", " ")
+    g_len = F.col("n_chars").between(100, 20000)
+    g_words = F.size(words) >= 20
+    g_unique = (
+        F.size(F.array_distinct(words)).cast("double") / F.size(words) >= 0.3
+    )
+    gated = d.select(
+        "source",
+        g_len.alias("g_len"),
+        g_words.alias("g_words"),
+        g_unique.alias("g_unique"),
+    )
+    pass_all = F.col("g_len") & F.col("g_words") & F.col("g_unique")
+    return gated.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("g_len").cast("long")).alias("n_pass_len"),
+        F.sum((F.col("g_len") & F.col("g_words")).cast("long")).alias("n_pass_words"),
+        F.sum(pass_all.cast("long")).alias("n_pass_all"),
+        F.round(F.sum(pass_all.cast("long")).cast("double") / F.count("*"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark`` (streaming/
+    wrappers.py ``dedup_within_watermark_stream``): first event per
+    (user_id, event_type) key — the stateful streaming dedup whose state
+    the watermark bounds. The batch form pins WHICH row survives
+    (earliest by (ts, event_id) — a total order), making the semantics
+    oracle-checkable; the streaming wrapper keeps whichever arrives
+    first, which coincides with this on an in-order replay.
+
+    One shuffle on the dedup key with WindowGroupLimit pruning candidates
+    map-side to 1 row/group before the exchange — the scale shape of
+    keyed dedup.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "agg_histogram_sketch_quantiles",
+    oracle="""
+    WITH buckets AS (
+        SELECT CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS bucket,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    ), cum AS (
+        SELECT bucket, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cnt,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+        FROM buckets
+    ), qs AS (
+        SELECT CAST(q AS DOUBLE) AS q
+        FROM (VALUES (0.5), (0.9), (0.99)) v(q)
+    ), hit AS (
+        SELECT q, bucket, cnt, cum_cnt, n_total,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY bucket) AS rn
+        FROM qs JOIN cum ON cum_cnt >= q * n_total
+    )
+    SELECT q, n_total,
+           ROUND(bucket * 5000.0
+                 + 5000.0 * (q * n_total - (cum_cnt - cnt)) / cnt, 6)
+               AS est_value
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram sketch → quantile estimates (p50/
+    p90/p99 of o_totalprice with linear interpolation inside the hit
+    bucket) — the one-pass, partial-aggregable quantile pattern at
+    100 TB: per-partition bucket counts merge by addition (unlike exact
+    percentiles, which need a sort), and the estimation runs on the
+    ~100-row bucket table.
+
+    Determinism: bucket counts are exact integers; the interpolation is
+    one deterministic double expression per quantile on both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    buckets = o.groupBy(
+        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum_cnt"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    hit = (
+        qs.join(cum, F.col("cum_cnt") >= F.col("q") * F.col("n_total"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("q").orderBy("bucket")),
+        )
+        .where(F.col("rn") == 1)
+    )
+    est = (
+        F.col("bucket") * 5000.0
+        + 5000.0
+        * (F.col("q") * F.col("n_total") - (F.col("cum_cnt") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    return hit.select("q", "n_total", F.round(est, 6).alias("est_value"))
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    WITH dimkeys AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'GERMANY'
+    ), bloom AS (
+        SELECT DISTINCT pos FROM (
+            SELECT CAST(('0x' || substr(md5('b1_' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1024 AS pos FROM dimkeys
+            UNION ALL
+            SELECT CAST(('0x' || substr(md5('b2_' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1024 FROM dimkeys
+        ) p
+    ), fact AS (
+        SELECT l_suppkey,
+               CAST(('0x' || substr(md5('b1_' || CAST(l_suppkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1024 AS p1,
+               CAST(('0x' || substr(md5('b2_' || CAST(l_suppkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1024 AS p2
+        FROM lineitem
+    ), flagged AS (
+        SELECT l_suppkey,
+               (p1 IN (SELECT pos FROM bloom)
+                AND p2 IN (SELECT pos FROM bloom)) AS bloom_pass,
+               l_suppkey IN (SELECT s_suppkey FROM dimkeys) AS true_match
+        FROM fact
+    )
+    SELECT COUNT(*) AS n_fact_rows,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(SUM(CASE WHEN true_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_match,
+           ROUND(CAST(SUM(CASE WHEN bloom_pass AND NOT true_match
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS false_positive_rate
+    FROM flagged
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join prefilter, made explicit: a 1024-bit / 2-hash
+    filter built from the selective dim side (GERMANY suppliers) probes
+    the fact scan BEFORE the exact join — the runtime-filter pattern that
+    at 100 TB turns a full-fact shuffle join into a scan that drops most
+    rows at the source (Spark's own `spark.sql.optimizer.runtime.
+    bloomFilter` does this invisibly; this key measures what it buys:
+    pass count + false-positive rate).
+
+    Both bit-position probes and the exact membership check run as
+    broadcast (semi-)joins against the bounded dim/bit tables — no
+    driver-side set, no UDF; md5-derived positions keep the two engines
+    bit-identical.
+    """
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+
+    def pos(col: F.Column, salt: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    dimkeys = s.join(
+        F.broadcast(n.where(F.col("n_name") == "GERMANY")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    bloom = (
+        dimkeys.select(pos(F.col("s_suppkey"), "b1_").alias("pos"))
+        .union(dimkeys.select(pos(F.col("s_suppkey"), "b2_").alias("pos")))
+        .distinct()
+    )
+    fact = li.select(
+        "l_suppkey",
+        pos(F.col("l_suppkey"), "b1_").alias("p1"),
+        pos(F.col("l_suppkey"), "b2_").alias("p2"),
+    )
+    b1 = bloom.select(F.col("pos").alias("bp1")).withColumn("hit1", F.lit(True))
+    b2 = bloom.select(F.col("pos").alias("bp2")).withColumn("hit2", F.lit(True))
+    dk = dimkeys.withColumn("is_dim", F.lit(True))
+    flagged = (
+        fact.join(F.broadcast(b1), fact.p1 == F.col("bp1"), "left")
+        .join(F.broadcast(b2), fact.p2 == F.col("bp2"), "left")
+        .join(F.broadcast(dk), fact.l_suppkey == dk.s_suppkey, "left")
+        .select(
+            (F.coalesce(F.col("hit1"), F.lit(False))
+             & F.coalesce(F.col("hit2"), F.lit(False))).alias("bloom_pass"),
+            F.coalesce(F.col("is_dim"), F.lit(False)).alias("true_match"),
+        )
+    )
+    return flagged.agg(
+        F.count("*").alias("n_fact_rows"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("true_match").cast("long")).alias("n_true_match"),
+        F.round(
+            F.sum((F.col("bloom_pass") & ~F.col("true_match")).cast("long")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("false_positive_rate"),
+    )

@@ -377,10 +377,10 @@ def test_random_frame_agg_matches_duckdb(agg, part, prec, foll, unbounded_start,
     end_sql = f"{foll} FOLLOWING" if foll else "CURRENT ROW"
     oracle = f"""
     SELECT o_orderkey,
-           {_FRAME_AGGS[agg]}(o_custkey) OVER (
+           CAST({_FRAME_AGGS[agg]}(o_custkey) OVER (
                PARTITION BY {part}
                ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN {start_sql} AND {end_sql}) AS frame_val
+               ROWS BETWEEN {start_sql} AND {end_sql}) AS BIGINT) AS frame_val
     FROM orders
     """
     ok, msg = compare("frame_fuzz", df, oracle, oracle_con)
@@ -434,7 +434,7 @@ def test_random_grouping_sets_match_duckdb(kind, d1, d2, measure, spark, oracle_
         FROM orders
     )
     SELECT {d1}, {d2},
-           COUNT(*) AS n, SUM({measure}) AS msum,
+           COUNT(*) AS n, CAST(SUM({measure}) AS BIGINT) AS msum,
            GROUPING({d1}) AS g1, GROUPING({d2}) AS g2
     FROM base
     GROUP BY {kind.upper()} ({d1}, {d2})

@@ -101,6 +101,8 @@ def main() -> None:
         "llm_dedup_cluster_cc",  # quadratic pair gen + iterative CC rounds
         "llm_similarity_topk_hof",  # same O(N²) family, JVM twin of the headline
         "llm_hard_negative_mining",  # same O(N²) family (exact mining baseline)
+        "llm_dedup_survivor_quality",  # child of cluster_cc — pays its O(N²) pair gen
+        "llm_lsh_recall_report",  # exact Jaccard over ALL pairs BY DESIGN (recall oracle)
     }
     coverage: dict[str, float] = {}
     for name, q in sorted(QUERIES.items()):

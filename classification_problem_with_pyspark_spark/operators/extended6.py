@@ -562,3 +562,229 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("false_positive_rate"),
     )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle="""
+    WITH hashed AS (
+        SELECT o_custkey,
+               CAST(('0x' || substr(md5('cms0_' || CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 256 AS p0,
+               CAST(('0x' || substr(md5('cms1_' || CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 256 AS p1
+        FROM orders
+    ), row0 AS (
+        SELECT p0 AS pos, COUNT(*) AS cnt FROM hashed GROUP BY p0
+    ), row1 AS (
+        SELECT p1 AS pos, COUNT(*) AS cnt FROM hashed GROUP BY p1
+    ), truth AS (
+        SELECT o_custkey, COUNT(*) AS true_cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_custkey) AS rk
+        FROM hashed GROUP BY o_custkey
+    )
+    SELECT t.o_custkey AS custkey, t.true_cnt,
+           CAST(least(r0.cnt, r1.cnt) AS BIGINT) AS est_cnt,
+           CAST(least(r0.cnt, r1.cnt) - t.true_cnt AS BIGINT) AS overcount
+    FROM truth t
+    JOIN hashed h ON t.o_custkey = h.o_custkey
+    JOIN row0 r0 ON h.p0 = r0.pos
+    JOIN row1 r1 ON h.p1 = r1.pos
+    WHERE t.rk <= 10
+    GROUP BY ALL
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (width 256 × depth 2, md5-salted rows) for
+    heavy-hitter frequency estimation, validated against exact counts for
+    the top-10 keys — the mergeable frequency sketch at 100 TB: each
+    partition's 512-cell grid merges by addition, unlike an exact
+    per-key count whose key space is unbounded. The one-sided overcount
+    column is the sketch's signature error (CMS never undercounts).
+
+    Everything is exact integers over md5-derived positions — both
+    engines agree bit-for-bit.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+
+    def pos(salt: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("o_custkey").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+
+    hashed = o.select("o_custkey", pos("cms0_").alias("p0"), pos("cms1_").alias("p1"))
+    row0 = hashed.groupBy(F.col("p0").alias("pos")).agg(F.count("*").alias("cnt0"))
+    row1 = hashed.groupBy(F.col("p1").alias("pos")).agg(F.count("*").alias("cnt1"))
+    truth = (
+        hashed.groupBy("o_custkey")
+        .agg(F.count("*").alias("true_cnt"), F.first("p0").alias("p0"), F.first("p1").alias("p1"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
+            ),
+        )
+        .where(F.col("rk") <= 10)
+    )
+    est = F.least(F.col("cnt0"), F.col("cnt1"))
+    return (
+        truth.join(F.broadcast(row0), truth.p0 == row0.pos)
+        .join(F.broadcast(row1), truth.p1 == row1.pos)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "true_cnt",
+            est.alias("est_cnt"),
+            (est - F.col("true_cnt")).alias("overcount"),
+        )
+    )
+
+
+@register(
+    "events_ks_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ), by_value AS (
+        SELECT event_type, value,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM tagged GROUP BY event_type, value
+    ), cum AS (
+        SELECT event_type,
+               CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+               CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+               CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+               CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        FROM by_value
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, na AS n_first_half, nb AS n_second_half,
+           ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / na
+                         - CAST(cum_b AS DOUBLE) / nb)), 6) AS ks_stat
+    FROM cum
+    GROUP BY event_type, na, nb
+    """,
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event type:
+    first half-month vs second half-month of `value` — the
+    distribution-shift gate training pipelines run before trusting a new
+    data slice (KS is the standard nonparametric drift test; the t-test
+    key `agg_ab_test_ttest` sees only mean shifts, KS sees shape).
+
+    Exact formulation, no sampling: per distinct value the two sample
+    counts aggregate (one shuffle), the empirical CDFs are cumulative
+    integer ratios (a partitioned window over the per-type distinct
+    values), and D = max|cdf_a - cdf_b| is an exact selection over
+    deterministic doubles — identical on both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit("2024-01-15").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    by_value = tagged.groupBy("event_type", "value").agg(
+        F.sum("in_a").alias("ca"), F.sum(1 - F.col("in_a")).alias("cb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = by_value.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+    )
+    diff = F.abs(
+        F.col("cum_a").cast("double") / F.col("na")
+        - F.col("cum_b").cast("double") / F.col("nb")
+    )
+    return cum.groupBy("event_type", "na", "nb").agg(
+        F.round(F.max(diff), 6).alias("ks_stat")
+    ).select(
+        "event_type",
+        F.col("na").alias("n_first_half"),
+        F.col("nb").alias("n_second_half"),
+        "ks_stat",
+    )
+
+
+@register(
+    "agg_kmv_distinct_estimate",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5('kmv_' || CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM orders
+    ), bottomk AS (
+        SELECT h FROM hashed ORDER BY h LIMIT 64
+    ), agg AS (
+        SELECT COUNT(*) AS k, MAX(h) AS hk FROM bottomk
+    ), truth AS (
+        SELECT COUNT(*) AS n_true FROM hashed
+    )
+    SELECT CAST(truth.n_true AS BIGINT) AS n_true_distinct,
+           CAST(agg.hk AS BIGINT) AS kth_hash,
+           ROUND((agg.k - 1) * (CAST(1152921504606846976 AS DOUBLE) / agg.hk), 6)
+               AS est_distinct,
+           ROUND(ABS((agg.k - 1) * (CAST(1152921504606846976 AS DOUBLE) / agg.hk)
+                     - truth.n_true) / truth.n_true, 6) AS rel_err
+    FROM agg CROSS JOIN truth
+    """,
+)
+def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (k=64): keep the 64
+    smallest md5 hashes of the key; estimate |D| ≈ (k-1)/h_(k) with
+    hashes scaled to [0,1) by 2^60 — the order-statistics cousin of HLL
+    (`agg_hll_sketch_mergeable`), but EXACTLY oracle-checkable because
+    the bottom-k set is deterministic (no register rounding). Mergeable
+    at 100 TB: per-partition bottom-64 lists merge by take-smallest-64
+    (here Spark's TakeOrdered does it — sort+limit never materializes a
+    global sort).
+
+    Validated in-row against the exact distinct count with relative
+    error; md5 keeps both engines bit-identical.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv_"), F.col("o_custkey").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    hashed = o.select(h).distinct()
+    bottomk = hashed.orderBy("h").limit(64)
+    agg = bottomk.agg(F.count("*").alias("k"), F.max("h").alias("hk"))
+    truth = hashed.agg(F.count("*").alias("n_true"))
+    est = (F.col("k") - 1) * (F.lit(float(1 << 60)) / F.col("hk"))
+    return agg.crossJoin(truth).select(
+        F.col("n_true").alias("n_true_distinct"),
+        F.col("hk").alias("kth_hash"),
+        F.round(est, 6).alias("est_distinct"),
+        F.round(F.abs(est - F.col("n_true")) / F.col("n_true"), 6).alias("rel_err"),
+    )

@@ -788,3 +788,142 @@ def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 6).alias("est_distinct"),
         F.round(F.abs(est - F.col("n_true")) / F.col("n_true"), 6).alias("rel_err"),
     )
+
+
+@register(
+    "join_fuzzy_trigram_names",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+    ), tri AS (
+        SELECT p_name, n_parts,
+               list_distinct(list_transform(
+                   generate_series(1, length(p_name) - 2),
+                   i -> substr(p_name, i, 3))) AS grams
+        FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+           ROUND(CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g)))
+                      AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_filter(a.grams, g -> list_contains(b.grams, g)))),
+                 6) AS trigram_jaccard
+    FROM tri a JOIN tri b ON a.p_name < b.p_name
+    WHERE CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g)))
+               AS DOUBLE)
+          / (len(a.grams) + len(b.grams)
+             - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) >= 0.4
+    """,
+)
+def join_fuzzy_trigram_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: character-trigram Jaccard over part
+    names, pairing names with similarity ≥ 0.4 — the name-matching
+    primitive of record linkage / golden-record pipelines.
+
+    Scale shape: the fact table first collapses to the DISTINCT-name
+    table with counts (64 names here, bounded by the name vocabulary at
+    any SF — the same collapse a 100-TB run does), and the quadratic
+    similarity runs only on that bounded table via a broadcast self-join;
+    results map back to fact rows by the carried counts. For an unbounded
+    name vocabulary, block on first-trigram / LSH exactly like the
+    llm_dedup_minhash_banded path — this key is the exact-verify stage.
+    All set arithmetic is integer; one ROUND on the final ratio.
+    """
+    p = load(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    tri = names.select(
+        "p_name",
+        "n_parts",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(p_name) - 2), i -> substring(p_name, i, 3))"
+            )
+        ).alias("grams"),
+    )
+    a = tri.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("grams").alias("grams_a"),
+    )
+    b = tri.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .where(jac >= 0.4)
+        .select(
+            "name_a",
+            "name_b",
+            "n_parts_a",
+            "n_parts_b",
+            F.round(jac, 6).alias("trigram_jaccard"),
+        )
+    )
+
+
+@register(
+    "events_late_arrival_accounting",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               MAX(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_seen_s
+        FROM events
+    ), late AS (
+        SELECT CASE
+                 WHEN max_seen_s IS NULL THEN 'first_event'
+                 WHEN max_seen_s - CAST(floor(epoch(ts)) AS BIGINT) <= 0
+                     THEN 'in_order'
+                 WHEN max_seen_s - CAST(floor(epoch(ts)) AS BIGINT) <= 600
+                     THEN 'late_le_10m'
+                 WHEN max_seen_s - CAST(floor(epoch(ts)) AS BIGINT) <= 3600
+                     THEN 'late_le_1h'
+                 ELSE 'late_gt_1h'
+               END AS lateness_bucket
+        FROM seq
+    )
+    SELECT lateness_bucket, COUNT(*) AS n_events
+    FROM late GROUP BY lateness_bucket
+    """,
+)
+def events_late_arrival_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival accounting — the audit that SIZES a watermark: per
+    user (arrival order = event_id), how far behind the max event-time
+    seen so far does each event arrive? The bucket histogram
+    (in-order / ≤10m / ≤1h / >1h) tells you what
+    ``withWatermark("ts", X)`` drops at each X — run this BEFORE
+    choosing X for the streaming keys (§2.9).
+
+    One partitioned running-max window over integral epoch seconds —
+    exact arithmetic, one shuffle on user_id, and the histogram is a
+    bounded-key aggregation.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_s = F.unix_timestamp("ts")
+    max_seen = F.max(ts_s).over(w)
+    lateness = max_seen - ts_s
+    bucket = (
+        F.when(max_seen.isNull(), "first_event")
+        .when(lateness <= 0, "in_order")
+        .when(lateness <= 600, "late_le_10m")
+        .when(lateness <= 3600, "late_le_1h")
+        .otherwise("late_gt_1h")
+    )
+    return (
+        e.select(bucket.alias("lateness_bucket"))
+        .groupBy("lateness_bucket")
+        .agg(F.count("*").alias("n_events"))
+    )

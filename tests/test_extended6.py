@@ -1,0 +1,90 @@
+"""Semantic property tests for the round-3 extension pack (extended6.py).
+
+Oracle parity (tests/test_oracle_parity.py) already pins exact values;
+these assert the MATHEMATICAL invariants the operators claim, so a future
+refactor that stays self-consistent on both engines but breaks the
+semantics (e.g. a sketch that undercounts) still fails.
+"""
+
+from __future__ import annotations
+
+from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+from tests.conftest import SF_DIR
+
+load_all_modules()
+
+
+def test_cms_never_undercounts(spark):
+    rows = QUERIES["agg_count_min_sketch"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt, r
+        assert r.overcount == r.est_cnt - r.true_cnt
+
+
+def test_kmv_estimate_is_close(spark):
+    r = QUERIES["agg_kmv_distinct_estimate"].fn(spark, SF_DIR).collect()[0]
+    # k=64 KMV has ~1/sqrt(k-1) ≈ 12.6% relative std err; 3 sigma bound.
+    assert r.rel_err < 0.40, r
+    assert r.n_true_distinct > 0
+
+
+def test_ks_stat_bounded(spark):
+    rows = QUERIES["events_ks_drift"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0, r
+        assert r.n_first_half > 0 and r.n_second_half > 0
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    r = QUERIES["join_bloom_prefilter"].fn(spark, SF_DIR).collect()[0]
+    # A Bloom filter may overselect, never underselect.
+    assert r.n_bloom_pass >= r.n_true_match, r
+    assert 0.0 <= r.false_positive_rate <= 1.0
+
+
+def test_quantize_int8_codes_in_range(spark):
+    rows = QUERIES["emb_quantize_int8"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # |q| <= 127 per element, 64 elements -> L1 mass bounded.
+        assert 0 <= r.sum_abs_q <= 127 * 64, r
+        assert r.scale_e9 >= 0
+        assert r.sq_err_e12 >= 0
+
+
+def test_histogram_quantiles_monotone(spark):
+    rows = {
+        r.q: r.est_value
+        for r in QUERIES["agg_histogram_sketch_quantiles"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {0.5, 0.9, 0.99}
+    assert rows[0.5] <= rows[0.9] <= rows[0.99]
+
+
+def test_funnel_is_monotone(spark):
+    for r in QUERIES["llm_filter_funnel"].fn(spark, SF_DIR).collect():
+        assert r.n_total >= r.n_pass_len >= r.n_pass_words >= r.n_pass_all >= 0
+
+
+def test_centroids_cover_all_label_dims(spark):
+    rows = QUERIES["emb_centroid_per_label"].fn(spark, SF_DIR).collect()
+    labels = {r.label for r in rows}
+    dims = {r.dim for r in rows}
+    assert dims == set(range(64))
+    assert len(rows) == len(labels) * 64
+
+
+def test_late_arrival_buckets_partition_events(spark):
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    rows = QUERIES["events_late_arrival_accounting"].fn(spark, SF_DIR).collect()
+    total = sum(r.n_events for r in rows)
+    assert total == load(spark, SF_DIR, "events").count()
+
+
+def test_fuzzy_pairs_are_ordered_and_thresholded(spark):
+    for r in QUERIES["join_fuzzy_trigram_names"].fn(spark, SF_DIR).collect():
+        assert r.name_a < r.name_b
+        assert r.trigram_jaccard >= 0.4

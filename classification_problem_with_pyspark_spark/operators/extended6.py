@@ -927,3 +927,62 @@ def events_late_arrival_accounting(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("lateness_bucket")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "sink_bucketed_join_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS line_cnt,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+               AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join, end to end (SURVEY §7.6's flagship
+    100-TB pattern as a graded key): orders and lineitem are written as
+    managed tables bucketed 8 ways on the SAME join key (sorted within
+    buckets), then joined with a merge hint — Spark aligns the bucket
+    specs and the join runs with NO exchange on either side (asserted in
+    tests/test_extended6.py): the shuffle was paid ONCE at write time,
+    and every subsequent join on the key is a local per-bucket merge.
+    At 100 TB this is the difference between re-shuffling two fact
+    tables per query and never shuffling them again.
+
+    Values are oracle-checked against the plain (unbucketed) join —
+    bucketing must be invisible to results. Revenue sums in DECIMAL
+    (exact at any N), the house discipline for float aggregates.
+    """
+    import os
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    from classification_problem_with_pyspark_spark.sources.catalog import write_bucketed
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_o, t_l = f"bkt_orders_{sf_name}", f"bkt_lineitem_{sf_name}"
+    write_bucketed(o, t_o, ("o_orderkey",), 8, ("o_orderkey",))
+    write_bucketed(li, t_l, ("l_orderkey",), 8, ("l_orderkey",))
+    ob, lb = spark.table(t_o), spark.table(t_l)
+    return (
+        ob.hint("merge")
+        .join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("line_cnt"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+    )

@@ -270,6 +270,17 @@ def write_bucketed(
     fact⋈fact join on the bucket key from a full network shuffle into a
     local per-bucket merge. Asserted in tests/test_sources.py.
     """
+    # Idempotent across SESSIONS, not just runs: a fresh session's catalog
+    # doesn't know the table, but the managed location from a previous
+    # session still exists on disk and saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS — drop the catalog entry AND the orphan dir.
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(warehouse, table_name.lower()), ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -88,3 +88,23 @@ def test_fuzzy_pairs_are_ordered_and_thresholded(spark):
     for r in QUERIES["join_fuzzy_trigram_names"].fn(spark, SF_DIR).collect():
         assert r.name_a < r.name_b
         assert r.trigram_jaccard >= 0.4
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The point of sink_bucketed_join_roundtrip: after the bucketed write,
+    the orderkey join itself needs NO shuffle on either side."""
+    from pyspark.sql import functions as F
+
+    from classification_problem_with_pyspark_spark.plans.explain import (
+        assert_in_plan,
+        assert_not_in_plan,
+    )
+
+    # Run once to (re)write the bucketed tables at the test SF.
+    QUERIES["sink_bucketed_join_roundtrip"].fn(spark, SF_DIR).count()
+    sf_name = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    ob = spark.table(f"bkt_orders_{sf_name}")
+    lb = spark.table(f"bkt_lineitem_{sf_name}")
+    joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+    assert_in_plan(joined, "SortMergeJoin")
+    assert_not_in_plan(joined, "Exchange")

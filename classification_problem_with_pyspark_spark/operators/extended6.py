@@ -986,3 +986,246 @@ def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "llm_shard_checksum_manifest",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('shuf_' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 8 AS shard,
+               md5(text) AS content_hash,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(content_hash, '' ORDER BY content_hash))
+               AS shard_checksum
+    FROM hashed
+    GROUP BY shard
+    """,
+)
+def llm_shard_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest with content checksums — the reproducibility record
+    a training run stores next to its data: per shard (same md5 shard
+    assignment as `llm_shuffle_shards`), doc count, char volume, and an
+    ORDER-INSENSITIVE shard checksum (md5 over the sorted per-doc content
+    hashes) that any later run can recompute to prove the shard is
+    byte-identical. Sorting happens inside each shard's aggregation
+    (collect_list → array_sort — bounded by shard size, 8-way parallel),
+    never globally.
+    """
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shuf_"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    hashed = d.select(
+        shard.alias("shard"),
+        F.md5("text").alias("content_hash"),
+        F.length("text").alias("n_chars"),
+    )
+    return hashed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("content_hash")), "").cast(
+                "binary"
+            )
+        ).alias("shard_checksum"),
+    )
+
+
+@register(
+    "events_trending_topk",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_prev,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_curr
+        FROM events GROUP BY event_type
+    ), scored AS (
+        SELECT event_type, n_prev, n_curr,
+               ROUND(CAST(n_curr AS DOUBLE) / (n_prev + 1), 6) AS growth_ratio
+        FROM weekly
+    )
+    SELECT event_type, n_prev, n_curr, growth_ratio,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY growth_ratio DESC, event_type)
+                    AS rk
+          FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: top-3 event types by half-over-half growth
+    ratio (Laplace-smoothed, +1 in the denominator so new types don't
+    divide by zero) — the feed-ranking / anomaly-promotion primitive.
+
+    One conditional-aggregation pass over the scan (both halves counted
+    in the same groupBy — no self-join of two period scans), then the
+    ranking window runs over the bounded event-type table. The growth
+    ratio is a single deterministic double division of exact counts.
+    """
+    e = load(spark, sf_dir, "events")
+    weekly = e.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("ts") < F.lit("2024-01-15").cast("timestamp"), 1).otherwise(0)
+        ).cast("long").alias("n_prev"),
+        F.sum(
+            F.when(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"), 1).otherwise(0)
+        ).cast("long").alias("n_curr"),
+    )
+    scored = weekly.withColumn(
+        "growth_ratio",
+        F.round(F.col("n_curr").cast("double") / (F.col("n_prev") + 1), 6),
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("growth_ratio"), F.asc("event_type"))
+            ).cast("long"),
+        )
+        .where(F.col("rank") <= 3)
+        .select("event_type", "n_prev", "n_curr", "growth_ratio", "rank")
+    )
+
+
+@register(
+    "emb_pca_power_iteration",
+    oracle="""
+    WITH exp AS (
+        SELECT vec_id, t.i - 1 AS i, t.xi
+        FROM embeddings,
+          LATERAL (SELECT generate_subscripts(embedding, 1) AS i,
+                          unnest(list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE))) AS xi) t
+    ), gram AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(round(CAST(SUM(CAST(round(a.xi * b.xi * 1000000000000)
+                                        AS BIGINT)) AS DOUBLE)
+                          / 1000000.0) AS BIGINT) AS g
+        FROM exp a JOIN exp b USING (vec_id)
+        GROUP BY a.i, b.i
+    ), v0 AS (
+        SELECT unnest(generate_series(0, 63)) AS j,
+               CAST(1000000 AS BIGINT) AS v
+    ), u1 AS (
+        SELECT gram.i, CAST(SUM(gram.g * v0.v) AS BIGINT) AS u
+        FROM gram JOIN v0 ON gram.j = v0.j GROUP BY gram.i
+    ), v1 AS (
+        SELECT i AS j,
+               CAST(round(CAST(u AS DOUBLE) * 1000000.0
+                          / (SELECT MAX(ABS(u)) FROM u1)) AS BIGINT) AS v
+        FROM u1
+    ), u2 AS (
+        SELECT gram.i, CAST(SUM(gram.g * v1.v) AS BIGINT) AS u
+        FROM gram JOIN v1 ON gram.j = v1.j GROUP BY gram.i
+    ), v2 AS (
+        SELECT i AS j,
+               CAST(round(CAST(u AS DOUBLE) * 1000000.0
+                          / (SELECT MAX(ABS(u)) FROM u2)) AS BIGINT) AS v
+        FROM u2
+    ), u3 AS (
+        SELECT gram.i, CAST(SUM(gram.g * v2.v) AS BIGINT) AS u
+        FROM gram JOIN v2 ON gram.j = v2.j GROUP BY gram.i
+    ), v3 AS (
+        SELECT i AS j,
+               CAST(round(CAST(u AS DOUBLE) * 1000000.0
+                          / (SELECT MAX(ABS(u)) FROM u3)) AS BIGINT) AS v
+        FROM u3
+    ), rayleigh AS (
+        SELECT ROUND(CAST(SUM(CAST(round(CAST(u3.u AS DOUBLE) / 1000000.0)
+                                   AS BIGINT) * v2.v) AS DOUBLE)
+                     / (SELECT SUM(v * v) FROM v2), 6) AS rayleigh_scaled
+        FROM u3 JOIN v2 ON u3.i = v2.j
+    )
+    SELECT v3.j AS dim, CAST(v3.v AS BIGINT) AS component_micro,
+           rayleigh.rayleigh_scaled
+    FROM v3 CROSS JOIN rayleigh
+    """,
+)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding matrix by power
+    iteration — matrix-free distributed PCA: ONE fact-sized pass builds
+    the 64×64 Gram matrix G = ΣxxT as exact µ²-unit integers (per-row
+    outer products flatten to (i,j,m) triples in codegen, partial-agg
+    absorbs the 4096× fan-out map-side), then three v ← Gv/‖Gv‖∞
+    iterations run as joins on the BOUNDED gram table — the same
+    bounded-iteration posture as graph_pagerank_nation_flow. At 100 TB
+    only the gram build touches the data; iteration cost is O(d²)
+    regardless of N.
+
+    Hash discipline: matvecs are exact int64 sums (order-insensitive by
+    construction); every normalization is one deterministic double op
+    rounded back to µ-unit ints, so all three iterations are
+    bit-identical on both engines. Output: the µ-scaled component per
+    dim + the Rayleigh-quotient eigenvalue estimate (scaled units).
+    """
+    e0 = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    triples = e0.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(embedding, (xi, i) -> "
+                "transform(embedding, (xj, j) -> struct(i AS i, j AS j, "
+                "CAST(round(CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) "
+                "* 1000000000000) AS BIGINT) AS m))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.m")
+    gram = (
+        triples.groupBy("i", "j")
+        .agg(
+            F.round(F.sum("m").cast("double") / 1000000.0).cast("long").alias("g")
+        )
+        .localCheckpoint(eager=True)  # bounded 4096-row table; built once
+    )
+    v = spark.range(64).select(
+        F.col("id").alias("j"), F.lit(1000000).cast("long").alias("v")
+    )
+    u = None
+    v_prev = None
+    for _ in range(3):
+        u = gram.join(v, "j").groupBy("i").agg(
+            F.sum(F.col("g") * F.col("v")).alias("u")
+        )
+        mx = u.agg(F.max(F.abs(F.col("u"))).alias("mx"))
+        v_prev = v
+        v = u.crossJoin(F.broadcast(mx)).select(
+            F.col("i").alias("j"),
+            F.round(F.col("u").cast("double") * 1000000.0 / F.col("mx"))
+            .cast("long")
+            .alias("v"),
+        )
+    num = (
+        u.join(v_prev, u.i == v_prev.j)
+        .agg(
+            F.sum(
+                F.round(F.col("u").cast("double") / 1000000.0).cast("long")
+                * F.col("v")
+            ).alias("num")
+        )
+    )
+    den = v_prev.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
+    rayleigh = num.crossJoin(den).select(
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias(
+            "rayleigh_scaled"
+        )
+    )
+    return v.crossJoin(F.broadcast(rayleigh)).select(
+        F.col("j").alias("dim"),
+        F.col("v").alias("component_micro"),
+        "rayleigh_scaled",
+    )

@@ -108,3 +108,31 @@ def test_bucketed_join_has_no_exchange(spark):
     joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
     assert_in_plan(joined, "SortMergeJoin")
     assert_not_in_plan(joined, "Exchange")
+
+
+def test_shard_checksums_partition_and_are_stable(spark):
+    rows = QUERIES["llm_shard_checksum_manifest"].fn(spark, SF_DIR).collect()
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    assert sum(r.n_docs for r in rows) == load(spark, SF_DIR, "documents").count()
+    again = {
+        r.shard: r.shard_checksum
+        for r in QUERIES["llm_shard_checksum_manifest"].fn(spark, SF_DIR).collect()
+    }
+    assert {r.shard: r.shard_checksum for r in rows} == again
+
+
+def test_pca_component_normalized_and_dominant(spark):
+    rows = QUERIES["emb_pca_power_iteration"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    comps = [r.component_micro for r in rows]
+    # infinity-normalized: the largest |component| is exactly 1e6
+    assert max(abs(c) for c in comps) == 1_000_000
+    assert rows[0].rayleigh_scaled > 0  # Gram matrix is PSD
+
+
+def test_trending_ranks_are_dense_topk(spark):
+    rows = QUERIES["events_trending_topk"].fn(spark, SF_DIR).collect()
+    assert sorted(r.rank for r in rows) == [1, 2, 3]
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert by_rank[0].growth_ratio >= by_rank[1].growth_ratio >= by_rank[2].growth_ratio

@@ -1229,3 +1229,83 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("component_micro"),
         "rayleigh_scaled",
     )
+
+
+@register(
+    "ml_knn_accuracy_exact",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS qid, a.label AS true_label, b.label AS nbr_label,
+               ROUND(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim,
+               b.vec_id AS nid
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), knn AS (
+        SELECT qid, true_label, nbr_label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY sim DESC, nid) AS rk
+              FROM pairs) r
+        WHERE rk <= 5
+    ), votes AS (
+        SELECT qid, true_label, nbr_label AS pred_label, COUNT(*) AS n_votes
+        FROM knn GROUP BY qid, true_label, nbr_label
+    ), decided AS (
+        SELECT qid, true_label, pred_label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY n_votes DESC, pred_label) AS vr
+              FROM votes) v
+        WHERE vr = 1
+    )
+    SELECT true_label, pred_label, COUNT(*) AS n_vectors
+    FROM decided GROUP BY true_label, pred_label
+    """,
+)
+def ml_knn_accuracy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN majority-vote classifier confusion matrix over the
+    embedding corpus — the hash-checkable ML evaluation (MLlib fits are
+    rows-only by nature; this eval is pure deterministic arithmetic, so
+    the driver pins it exactly). Votes tie-break to the smaller label;
+    neighbor ranking ties break on vec_id — total orders everywhere.
+
+    Same brute-force posture as llm_similarity_topk_hof (the designated
+    exact-recall baseline — at 100 TB the kNN lists come from the ANN
+    keys and this becomes the per-shortlist vote): one broadcast nested
+    loop feeds rank → vote → confusion, all bounded aggregations.
+    """
+    from classification_problem_with_pyspark_spark.functions.vector import dot, norm
+
+    e = load(spark, sf_dir, "embeddings")
+    a = (
+        e.select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("emb_a"),
+        )
+        .withColumn("norm_a", norm(F.col("emb_a")))
+        .repartition(64)
+    )
+    b = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nbr_label"),
+        F.col("embedding").alias("emb_b"),
+    ).withColumn("norm_b", norm(F.col("emb_b")))
+    sim = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    knn = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "true_label", "nbr_label", sim.alias("sim"), "nid")
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 5)
+    )
+    votes = knn.groupBy("qid", "true_label", F.col("nbr_label").alias("pred_label")).agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("pred_label"))
+    decided = votes.withColumn("vr", F.row_number().over(wv)).where(F.col("vr") == 1)
+    return decided.groupBy("true_label", "pred_label").agg(
+        F.count("*").alias("n_vectors")
+    )

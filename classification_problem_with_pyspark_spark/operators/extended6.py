@@ -1309,3 +1309,144 @@ def ml_knn_accuracy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decided.groupBy("true_label", "pred_label").agg(
         F.count("*").alias("n_vectors")
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           n_events,
+           ROUND(quantile_cont(n_events, 0.5) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS median_7d
+    FROM daily
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily event counts per type — the robust
+    twin of the rolling mean (one spike day shifts a mean for a week but
+    leaves the median untouched; this is the baseline curve anomaly
+    monitors subtract). Exact percentile over a ROWS frame on integer
+    counts: interpolation arithmetic on exact ints is deterministic on
+    both engines.
+
+    The window runs over the (type, day) AGGREGATE (bounded: types ×
+    days), never over raw events — the fact-sized work is the daily
+    count's single shuffle.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.percentile("n_events", F.lit(0.5)).over(w), 6).alias("median_7d"),
+    )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    WITH big AS (
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    )
+    SELECT b.o_orderkey, b.o_totalprice,
+           t.l_linenumber, t.l_extendedprice
+    FROM big b,
+      LATERAL (SELECT l_linenumber, l_extendedprice
+               FROM lineitem
+               WHERE l_orderkey = b.o_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 surface, Spark 3.4+): for
+    each of the 10 largest orders, its top-2 line items by price — the
+    per-row-subquery idiom users port from warehouses. Registered through
+    the engine's SQL entry path (EP2) to pin Spark's LATERAL support;
+    Catalyst decorrelates it into the same rank-filter join a DataFrame
+    window would produce, so there is no per-row execution at scale.
+
+    Total orders everywhere ((price, orderkey) and (price, linenumber))
+    keep both engines' LIMITs identical.
+    """
+    import uuid
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    tag = uuid.uuid4().hex[:8]
+    o.createOrReplaceTempView(f"lt_orders_{tag}")
+    li.createOrReplaceTempView(f"lt_lineitem_{tag}")
+    return spark.sql(f"""
+        WITH big AS (
+            SELECT o_orderkey, o_totalprice
+            FROM lt_orders_{tag}
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        )
+        SELECT b.o_orderkey, b.o_totalprice,
+               t.l_linenumber, t.l_extendedprice
+        FROM big b,
+          LATERAL (SELECT l_linenumber, l_extendedprice
+                   FROM lt_lineitem_{tag}
+                   WHERE l_orderkey = b.o_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+    """)
+
+
+@register(
+    "layout_zonemap_prune_audit",
+    oracle="""
+    WITH zones AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS zone,
+               COUNT(*) AS n_rows,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY 1
+    )
+    SELECT zone, n_rows,
+           ROUND(min_price, 2) AS min_price,
+           ROUND(max_price, 2) AS max_price,
+           (max_price < 400000.0) AS prunable_for_gt_400k
+    FROM zones
+    """,
+)
+def layout_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) pruning audit: per month partition of
+    orders, the value range of o_totalprice and whether a `> 400k`
+    predicate could SKIP the whole zone — the file-skipping effectiveness
+    report behind partition layout decisions (parquet row-group stats,
+    Delta/Iceberg data skipping). Complements `layout_zorder_cluster`
+    (which REORDERS for better zone maps); this MEASURES what the current
+    layout buys.
+
+    One partial-agg pass; min/max are exact selections, safe to hash.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("zone"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        .select(
+            "zone",
+            "n_rows",
+            F.round("mn", 2).alias("min_price"),
+            F.round("mx", 2).alias("max_price"),
+            (F.col("mx") < 400000.0).alias("prunable_for_gt_400k"),
+        )
+    )

@@ -257,3 +257,61 @@ def run_foreach_batch_parquet(
         return spark.read.parquet(out_dir)
     finally:
         cleanup_stage(input_dir)
+
+
+def user_peak_tracker_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` (the successor API to
+    ``applyInPandasWithState``, SPARK-49564 family): per-user running
+    (peak value, event count) kept in a typed ValueState. Exercises the
+    NEW arbitrary-state surface — StatefulProcessor lifecycle
+    (init/handleInputRows/close) + handle-managed state — which is where
+    Structured Streaming's custom operators are headed; the old-API twin
+    is ``stateful_user_totals_stream``.
+
+    State is one (double, long) tuple per user — bounded regardless of
+    stream volume, sharded with the user_id shuffle at scale.
+
+    ENVIRONMENT NOTE (same class as sources/kafka.py's no-broker stub):
+    the transformWithState runner talks to the JVM over a protobuf
+    channel, and ``google.protobuf`` is NOT installed in this container —
+    driving this wrapper end-to-end here fails with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The code is the real
+    production shape (verified to build its streaming plan; the e2e test
+    in tests/test_streaming.py auto-skips without protobuf); the
+    old-API twin ``stateful_user_totals_stream`` IS driven end-to-end.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PeakProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "peak", "peak_value double, event_cnt long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                mx, cnt = self._state.get()
+            else:
+                mx, cnt = float("-inf"), 0
+            for pdf in rows:
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+                    cnt += len(pdf)
+            self._state.update((mx, cnt))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "peak_value": [mx], "event_cnt": [cnt]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        PeakProcessor(),
+        outputStructType="user_id long, peak_value double, event_cnt long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -264,3 +264,45 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert total == out.select("user_id", "event_type").distinct().count()
     # and the union of both phases covers every key in the source exactly
     assert total == events.select("user_id", "event_type").distinct().count()
+
+
+def test_transform_with_state_peak_tracker(spark):
+    """Spark 4 transformWithStateInPandas wrapper: plan must BUILD in any
+    environment; the end-to-end drive needs google.protobuf (the runner's
+    JVM channel), absent in this container — auto-skip there, run on a
+    real cluster."""
+    from classification_problem_with_pyspark_spark.streaming.wrappers import (
+        run_available_now,
+        user_peak_tracker_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        # Plan construction still must work (catches API drift).
+        import uuid
+
+        from classification_problem_with_pyspark_spark.streaming.wrappers import (
+            _stage_stream_input,
+            cleanup_stage,
+        )
+
+        input_dir, _ = _stage_stream_input(spark, SF_DIR_SMOKE)
+        try:
+            schema = spark.read.parquet(input_dir).schema
+            stream = spark.readStream.schema(schema).parquet(input_dir)
+            out = user_peak_tracker_tws(stream)
+            assert set(out.columns) == {"user_id", "peak_value", "event_cnt"}
+            assert out.isStreaming
+        finally:
+            cleanup_stage(input_dir)
+        pytest.skip("google.protobuf not installed: e2e transformWithState "
+                    "drive unavailable in this container")
+
+    rows = run_available_now(
+        spark, SF_DIR_SMOKE, user_peak_tracker_tws, "tws_peak", output_mode="update"
+    )
+    assert rows
+    by_user = {r.user_id: r for r in rows}
+    for r in by_user.values():
+        assert r.event_cnt >= 1

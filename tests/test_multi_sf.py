@@ -55,6 +55,16 @@ REPRESENTATIVE = [
     "llm_decontaminate",        # shingle-overlap join across corpus sizes
     "events_time_weighted_avg",  # decimal-weighted durations across scales
     "agg_ols_closed_form",      # exact-moment OLS across scales
+    # round-3 additions with scale-sensitive arithmetic headroom
+    "emb_pca_power_iteration",  # int64 gram/matvec overflow headroom at 4× rows
+    "emb_dim_variance_topk",    # Σx² µ²-unit headroom + rank ties across scales
+    "ml_knn_accuracy_exact",    # neighbor-rank/vote tie determinism at scale
+    "agg_histogram_sketch_quantiles",  # bucket interpolation across distributions
+    "events_ks_drift",          # CDF tie handling across value multiplicity
+    "llm_shard_checksum_manifest",  # order-insensitive checksum across corpus sizes
+    "agg_kmv_distinct_estimate",  # bottom-k order statistics across key counts
+    "sink_bucketed_join_roundtrip",  # bucketed write/join parity across SFs
+    "join_bloom_prefilter",     # bit-position membership across key domains
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

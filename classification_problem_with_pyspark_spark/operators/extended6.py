@@ -1450,3 +1450,203 @@ def layout_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mx") < 400000.0).alias("prunable_for_gt_400k"),
         )
     )
+
+
+@register(
+    "llm_cross_dedup_incremental",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, md5(text) AS h,
+               CAST(('0x' || substr(md5('incr_' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10 < 8 AS in_corpus
+        FROM documents
+    ), corpus AS (
+        SELECT DISTINCT h FROM tagged WHERE in_corpus
+    )
+    SELECT CAST(SUM(CASE WHEN NOT t.in_corpus THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_incoming,
+           CAST(SUM(CASE WHEN NOT t.in_corpus AND c.h IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_of_corpus,
+           CAST(SUM(CASE WHEN NOT t.in_corpus AND c.h IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new_unique,
+           ROUND(CAST(SUM(CASE WHEN NOT t.in_corpus AND c.h IS NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN NOT t.in_corpus THEN 1 ELSE 0 END), 6)
+               AS novelty_rate
+    FROM tagged t LEFT JOIN corpus c ON t.h = c.h
+    """,
+)
+def llm_cross_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: an incoming batch (hash-split 20% of
+    documents) checked against the existing corpus (the other 80%) by
+    content hash — the every-ingest operation of a living corpus: how
+    many incoming docs are already present, how many are new.
+
+    The membership check is a digest-keyed LEFT JOIN (never shuffles
+    text, same discipline as llm_dedup_exact_hash); at 100 TB the corpus
+    side is the hash index, not the documents. One pass, exact integer
+    counts.
+    """
+    d = load(spark, sf_dir, "documents")
+    in_corpus = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("incr_"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        < 8
+    )
+    tagged = d.select(F.md5("text").alias("h"), in_corpus.alias("in_corpus"))
+    corpus = tagged.where("in_corpus").select("h").distinct()
+    c = corpus.withColumn("known", F.lit(True))
+    joined = tagged.join(c, "h", "left")
+    incoming = (~F.col("in_corpus")).cast("long")
+    dup = ((~F.col("in_corpus")) & F.col("known").isNotNull()).cast("long")
+    new = ((~F.col("in_corpus")) & F.col("known").isNull()).cast("long")
+    return joined.agg(
+        F.sum(incoming).alias("n_incoming"),
+        F.sum(dup).alias("n_dup_of_corpus"),
+        F.sum(new).alias("n_new_unique"),
+        F.round(F.sum(new).cast("double") / F.sum(incoming), 6).alias("novelty_rate"),
+    )
+
+
+@register(
+    "llm_quality_bucket_token_budget",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars
+        FROM documents
+    ), deciled AS (
+        SELECT doc_id, n_tokens,
+               NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+        FROM scored
+    ), per_decile AS (
+        SELECT decile,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS decile_tokens
+        FROM deciled GROUP BY decile
+    ), cum AS (
+        SELECT decile, n_docs, decile_tokens,
+               CAST(SUM(decile_tokens) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM per_decile
+    )
+    SELECT decile, n_docs, decile_tokens, cum_tokens,
+           (cum_tokens <= 30000) AS fully_within_budget
+    FROM cum
+    """,
+)
+def llm_quality_bucket_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: rank documents into quality
+    deciles (length as the stand-in score, deterministic (score, doc_id)
+    order), then greedily admit whole deciles while the cumulative token
+    count fits the 30k budget — the curation policy behind
+    quality-first corpus downselection ("spend the budget on the best
+    data first").
+
+    The per-doc work is one scan pass; NTILE and the cumulative sum run
+    over deterministic total orders (decile table is 10 rows). All
+    outputs are exact integers + a boolean.
+    """
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    deciled = scored.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("decile_tokens"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_decile.select(
+        "decile",
+        "n_docs",
+        "decile_tokens",
+        F.sum("decile_tokens").over(wcum).cast("long").alias("cum_tokens"),
+    ).withColumn("fully_within_budget", F.col("cum_tokens") <= 30000)
+
+
+@register(
+    "graph_bfs_3hop",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), h0 AS (
+        SELECT CAST(0 AS BIGINT) AS node
+    ), h1 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e JOIN h0 ON e.src = h0.node
+        WHERE e.dst NOT IN (SELECT node FROM h0)
+    ), h2 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e JOIN h1 ON e.src = h1.node
+        WHERE e.dst NOT IN (SELECT node FROM h0)
+          AND e.dst NOT IN (SELECT node FROM h1)
+    ), h3 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e JOIN h2 ON e.src = h2.node
+        WHERE e.dst NOT IN (SELECT node FROM h0)
+          AND e.dst NOT IN (SELECT node FROM h1)
+          AND e.dst NOT IN (SELECT node FROM h2)
+    )
+    SELECT CAST(hop AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM (
+        SELECT node, 0 AS hop FROM h0
+        UNION ALL SELECT node, 1 FROM h1
+        UNION ALL SELECT node, 2 FROM h2
+        UNION ALL SELECT node, 3 FROM h3
+    ) lv
+    GROUP BY hop
+    """,
+)
+def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS, 3 hops from part 0 over the co-purchase graph
+    (parts sharing an order): nodes first reached at each hop level —
+    the reachability primitive (fraud rings, recommendation neighborhoods,
+    impact radius).
+
+    The iterative-frontier form IS the scale algorithm: each hop is one
+    distinct-join of the (small) frontier against the edge table, with
+    visited-set anti-joins keeping levels disjoint — unlike a recursive
+    path enumeration, which multiplies combinatorially on dense graphs.
+    The edge build is the only fact-sized work (one self-join on
+    orderkey, deduped); frontiers are bounded by the part vocabulary.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # edge build runs once, not per hop
+    )
+    h0 = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    levels = [h0]
+    visited = h0
+    for _ in range(3):
+        frontier = levels[-1]
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        levels.append(nxt)
+        visited = visited.union(nxt).distinct()
+    out = None
+    for hop, lv in enumerate(levels):
+        tagged = lv.select(F.lit(hop).cast("long").alias("hop"), "node")
+        out = tagged if out is None else out.union(tagged)
+    return out.groupBy("hop").agg(F.count("*").cast("long").alias("n_nodes"))

@@ -296,3 +296,53 @@ def test_label_propagation_matches_python(spark):
         for r in QUERIES["graph_label_propagation"].fn(spark, sf).collect()
     }
     assert got == dict(sizes)
+
+
+def test_freq_items_is_superset_of_true_heavy_hitters(spark):
+    """agg_freq_items (KSP single-pass): guaranteed SUPERSET of items with
+    true frequency >= support (10%) — verify against exact counts."""
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+    from tests.conftest import SF_DIR
+
+    load_all_modules()
+
+    got = {
+        (r.column, r.item)
+        for r in QUERIES["agg_freq_items"].fn(spark, SF_DIR).collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    n = o.count()
+    for col in ("o_orderpriority", "o_orderstatus"):
+        exact = (
+            o.groupBy(col).agg(F.count("*").alias("c")).collect()
+        )
+        for r in exact:
+            if r.c / n >= 0.1:
+                assert (col, r[col]) in got, (col, r[col], r.c / n)
+
+
+def test_decode_stub_deterministic_and_typed(spark):
+    """multimodal_decode_stub: the Arrow binary-batch path must be
+    deterministic (fake decode is a pure function of bytes) and emit the
+    declared typed schema including array columns."""
+    from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+
+    df = QUERIES["multimodal_decode_stub"].fn(spark, SF_DIR_SMOKE)
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "media_id:bigint",
+        "byte_len:int",
+        "byte_mean:double",
+        "byte_max:int",
+        "frame_sample:array<bigint>",
+        "resized_16:array<double>",
+    ]
+    a = {r.media_id: (r.byte_len, r.byte_mean, tuple(r.resized_16)) for r in df.collect()}
+    b = {
+        r.media_id: (r.byte_len, r.byte_mean, tuple(r.resized_16))
+        for r in QUERIES["multimodal_decode_stub"].fn(spark, SF_DIR_SMOKE).collect()
+    }
+    assert a == b and a
+    for blen, bmean, r16 in a.values():
+        assert blen > 0 and 0 <= bmean <= 255 and len(r16) == 16

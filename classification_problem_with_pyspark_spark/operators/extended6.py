@@ -1650,3 +1650,49 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged = lv.select(F.lit(hop).cast("long").alias("hop"), "node")
         out = tagged if out is None else out.union(tagged)
     return out.groupBy("hop").agg(F.count("*").cast("long").alias("n_nodes"))
+
+
+@register(
+    "scalar_map_hof_suite",
+    oracle="""
+    SELECT event_id,
+           CAST((CASE WHEN value > 50 THEN 1 ELSE 0 END)
+                + (CASE WHEN value * 2 > 50 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_after_filter,
+           ROUND(value * 10, 4) AS v_times10,
+           'V,V2' AS upper_keys,
+           ROUND(value + value * 10, 4) AS zipped_v
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def scalar_map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (§2.8 gap): map_from_entries →
+    map_filter / transform_values / transform_keys / map_zip_with, each
+    flattened to a hashable scalar. DuckDB has no map lambdas, so the
+    oracle is derivation-equivalent (the same scalars computed directly)
+    — the established pattern from scalar_map_suite.
+
+    All per-row JVM codegen; per-row double products are single IEEE ops,
+    identical on both engines.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    m1 = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("v").alias("key"), F.col("value").alias("value")),
+            F.struct(F.lit("v2").alias("key"), (F.col("value") * 2).alias("value")),
+        )
+    )
+    filtered = F.map_filter(m1, lambda k, v: v > 50)
+    m2 = F.transform_values(m1, lambda k, v: v * 10)
+    m3 = F.transform_keys(m1, lambda k, v: F.upper(k))
+    zipped = F.map_zip_with(
+        m1, m2, lambda k, a, b: F.coalesce(a, F.lit(0.0)) + F.coalesce(b, F.lit(0.0))
+    )
+    return e.select(
+        "event_id",
+        F.size(filtered).alias("n_after_filter"),
+        F.round(F.element_at(m2, "v"), 4).alias("v_times10"),
+        F.array_join(F.array_sort(F.map_keys(m3)), ",").alias("upper_keys"),
+        F.round(F.element_at(zipped, "v"), 4).alias("zipped_v"),
+    )

@@ -1696,3 +1696,113 @@ def scalar_map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m3)), ",").alias("upper_keys"),
         F.round(F.element_at(zipped, "v"), 4).alias("zipped_v"),
     )
+
+
+@register(
+    "llm_template_boilerplate_groups",
+    oracle="""
+    WITH normalized AS (
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                                  ' +', ' ', 'g')) AS shape_hash
+        FROM documents
+    ), groups AS (
+        SELECT shape_hash,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS exemplar_doc_id
+        FROM normalized GROUP BY shape_hash
+    )
+    SELECT shape_hash, n_docs, exemplar_doc_id
+    FROM groups WHERE n_docs >= 2
+    """,
+)
+def llm_template_boilerplate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection — the dedup class EXACT hashing
+    misses: normalize the text's SHAPE (lowercase, digit runs → '#',
+    whitespace collapsed) and group by the shape hash; groups of ≥2 are
+    generated-from-a-template families (error pages, listings, form
+    letters) that corpus cleaning caps or drops.
+
+    Same scale posture as exact dedup: only the 16-byte shape digest
+    shuffles, never text; normalization is two JVM regexes in codegen.
+    """
+    d = load(spark, sf_dir, "documents")
+    shape = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"), " +", " "
+        )
+    )
+    return (
+        d.select("doc_id", shape.alias("shape_hash"))
+        .groupBy("shape_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("exemplar_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "llm_dedup_prefix_containment",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, text, length(text) AS n,
+               substr(text, 1, 64) AS block
+        FROM documents WHERE length(text) >= 64
+    )
+    SELECT a.doc_id AS shorter_doc, b.doc_id AS longer_doc,
+           a.n AS shorter_len, b.n AS longer_len
+    FROM keyed a JOIN keyed b
+      ON a.block = b.block AND a.doc_id <> b.doc_id
+    WHERE a.n <= b.n
+      AND NOT (a.n = b.n AND a.doc_id > b.doc_id)
+      AND substr(b.text, 1, a.n) = a.text
+    """,
+)
+def llm_dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation dedup: documents that are an exact PREFIX of a longer
+    document (the duplicate class created by crawl truncation and
+    re-scrapes, invisible to whole-text hashing). Candidate pairs are
+    blocked on the first-64-char prefix (equal prefixes → same block, an
+    equi-join on a digest-sized key), then verified by one substring
+    compare — never an all-pairs scan. Equal-length ties pair once
+    (smaller doc_id as 'shorter').
+
+    At 100 TB the block key join is the same shape as exact dedup; block
+    skew (a hugely common prefix) is the documented salting case.
+    """
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= 64)
+    keyed = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.substring("text", 1, 64).alias("block"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("shorter_doc"),
+        F.col("text").alias("text_a"),
+        F.col("n").alias("shorter_len"),
+        F.col("block").alias("block_a"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("longer_doc"),
+        F.col("text").alias("text_b"),
+        F.col("n").alias("longer_len"),
+        F.col("block").alias("block_b"),
+    )
+    return (
+        a.join(b, F.col("block_a") == F.col("block_b"))
+        .where(F.col("shorter_doc") != F.col("longer_doc"))
+        .where(F.col("shorter_len") <= F.col("longer_len"))
+        .where(
+            ~(
+                (F.col("shorter_len") == F.col("longer_len"))
+                & (F.col("shorter_doc") > F.col("longer_doc"))
+            )
+        )
+        .where(
+            F.expr("substring(text_b, 1, shorter_len)") == F.col("text_a")
+        )
+        .select("shorter_doc", "longer_doc", "shorter_len", "longer_len")
+    )

@@ -1806,3 +1806,69 @@ def llm_dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("shorter_doc", "longer_doc", "shorter_len", "longer_len")
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH ordered AS (
+        SELECT l_returnflag, l_extendedprice, l_quantity,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_w,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag) AS BIGINT) AS total_w
+        FROM lineitem
+    ), hit AS (
+        SELECT l_returnflag, l_extendedprice, cum_w, total_w,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cum_w, l_extendedprice) AS rn
+        FROM ordered
+        WHERE cum_w * 2 >= total_w
+    )
+    SELECT l_returnflag,
+           total_w AS total_weight,
+           ROUND(l_extendedprice, 2) AS weighted_median_price
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag — the
+    weighted quantile (each line item counts by its quantity, so the
+    median reflects UNITS sold, not rows): sort within group, cumulative
+    weight, first row where 2·cum ≥ total. The total order
+    (price, orderkey, linenumber) pins ties on both engines.
+
+    This is the exact-sort baseline of the quantile family —
+    `agg_histogram_sketch_quantiles` is the one-pass mergeable scale
+    path; at 100 TB you run the sketch and keep this for validation
+    slices (the same baseline/scale pairing as similarity_topk vs IVF).
+    Weights accumulate as exact BIGINTs; the boundary test 2·cum ≥ total
+    is integer arithmetic — no float anywhere until the final ROUND.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    worder = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wcum = worder.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("l_returnflag")
+    q = F.col("l_quantity").cast("long")
+    ordered = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(q).over(wcum).alias("cum_w"),
+        F.sum(q).over(wall).alias("total_w"),
+    )
+    hit = ordered.where(F.col("cum_w") * 2 >= F.col("total_w")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("cum_w", "l_extendedprice")
+        ),
+    )
+    return hit.where(F.col("rn") == 1).select(
+        "l_returnflag",
+        F.col("total_w").alias("total_weight"),
+        F.round("l_extendedprice", 2).alias("weighted_median_price"),
+    )

@@ -200,7 +200,9 @@ def ml_tune_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     2×2 grid over regParam/elasticNetParam, 3-fold, AUC objective.
     Returns the grid with mean CV metric per point and a best flag."""
     feats = _embedding_features(spark, sf_dir)
-    lr = LogisticRegression(featuresCol="features", labelCol="label_bin", maxIter=20)
+    # maxIter=10: the 3-fold × 4-point grid pays 12 sequential fits; the
+    # CV ranking is stable well before 10 L-BFGS steps at this SF.
+    lr = LogisticRegression(featuresCol="features", labelCol="label_bin", maxIter=10)
     grid = (
         ParamGridBuilder()
         .addGrid(lr.regParam, [0.01, 0.1])
@@ -257,16 +259,16 @@ def ml_train_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "logreg_multinomial",
             LogisticRegression(
-                featuresCol="features", labelCol="label", maxIter=20, regParam=0.01
+                featuresCol="features", labelCol="label", maxIter=10, regParam=0.01
             ),
         ),
         (
             "one_vs_rest_svc",
             OneVsRest(
-                # 10 classes × maxIter SVC fits: 5 iters/class is the cost
+                # 10 classes × maxIter SVC fits: 3 iters/class is the cost
                 # knob — OVR is here for the binary→multiclass lift shape,
                 # not SVC convergence.
-                classifier=LinearSVC(maxIter=5, regParam=0.01),
+                classifier=LinearSVC(maxIter=3, regParam=0.01),
                 featuresCol="features",
                 labelCol="label",
             ),
@@ -277,7 +279,7 @@ def ml_train_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 featuresCol="features",
                 labelCol="label",
                 layers=[64, 32, 10],
-                maxIter=30,
+                maxIter=15,
                 seed=SEED,
             ),
         ),

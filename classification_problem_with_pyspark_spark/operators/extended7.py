@@ -490,3 +490,182 @@ def events_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+@register(
+    "llm_decontaminate_semantic",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CAST(('0x' || substr(md5('split_' || CAST(vec_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10 AS bucket
+        FROM embeddings
+    ), test AS (
+        SELECT vec_id, embedding FROM b WHERE bucket = 9
+    ), train AS (
+        SELECT vec_id, embedding FROM b WHERE bucket < 8
+    )
+    SELECT t.vec_id AS test_id,
+           COUNT(*) AS n_train_neighbors,
+           MAX(ROUND(list_cosine_similarity(
+                   list_transform(t.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(tr.embedding, x -> CAST(x AS DOUBLE))), 6))
+               AS max_cosine
+    FROM test t JOIN train tr
+      ON list_cosine_similarity(
+             list_transform(t.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(tr.embedding, x -> CAST(x AS DOUBLE))) >= 0.35
+    GROUP BY t.vec_id
+    """,
+)
+def llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (SURVEY.md §2.12): flag
+    TEST-split documents whose embedding has a TRAIN-split neighbor at
+    cosine ≥ 0.35 — the semantic complement of `llm_decontaminate`
+    (which catches exact n-gram overlap; paraphrased contamination slips
+    past shingles but not past embeddings).
+
+    The split is the SAME portable md5 assignment as `llm_split_hash`
+    (bucket 9 = test, <8 = train), so this audits exactly the split that
+    key ships. Exact test×train cosine is the oracle-checkable baseline;
+    its cost is |test|·|train| — at 100 TB the train side collapses to
+    ANN candidates (`llm_similarity_ivf`/`_sharded` cells) feeding this
+    same threshold+groupBy, and only the ~10% test slice scans fully.
+    49 cross-split pairs ≈ 15 contaminated test docs at sf0.01.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split_"), F.col("vec_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    test = b.where(F.col("bucket") == 9).select(
+        F.col("vec_id").alias("test_id"), F.col("embedding").alias("emb_t")
+    )
+    train = b.where(F.col("bucket") < 8).select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("emb_r")
+    )
+    cos = cosine_similarity(F.col("emb_t"), F.col("emb_r"))
+    return (
+        test.repartition(32)
+        .crossJoin(F.broadcast(train))
+        .where(cos >= 0.35)
+        .groupBy("test_id")
+        .agg(
+            F.count("*").alias("n_train_neighbors"),
+            F.max(F.round(cos, 6)).alias("max_cosine"),
+        )
+    )
+
+
+@register(
+    "llm_bpe_pair_stats",
+    oracle="""
+    WITH vocab AS (
+        SELECT w AS word, COUNT(*) AS wfreq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE len(w) >= 2
+        GROUP BY w
+    ), pairs AS (
+        SELECT substr(word, i, 2) AS pair, CAST(SUM(wfreq) AS BIGINT) AS pair_freq
+        FROM vocab, UNNEST(generate_series(1, len(word) - 1)) AS g(i)
+        GROUP BY substr(word, i, 2)
+    ), ranked AS (
+        SELECT pair, pair_freq,
+               ROW_NUMBER() OVER (ORDER BY pair_freq DESC, pair) AS rnk
+        FROM pairs
+    )
+    SELECT rnk, pair, pair_freq FROM ranked WHERE rnk <= 20
+    """,
+)
+def llm_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (SURVEY.md §2.12): the hot inner
+    pass of byte-pair-encoding tokenizer TRAINING — corpus frequency of
+    every adjacent character pair, weighted by word frequency, top-20
+    ranked. (`llm_token_count_bpe` applies a tokenizer; this is the pass
+    that builds one.)
+
+    The scale trick is the two-level aggregation: the fact-sized pass
+    collapses the corpus to its VOCABULARY (word → count) first, and
+    pair explosion runs over distinct words only — pair counts then
+    weight by word frequency instead of re-scanning text. Vocabulary and
+    pair tables are bounded (≈ vocab × word-length), so the final global
+    rank window sorts a tiny table; all counts are exact integers.
+    """
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wfreq"))
+    )
+    pairs = (
+        vocab.select(
+            "wfreq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            "word",
+        )
+        .select(
+            F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), F.col("wfreq")
+        )
+        .groupBy("pair")
+        .agg(F.sum("wfreq").cast("long").alias("pair_freq"))
+    )
+    w = Window.orderBy(F.desc("pair_freq"), F.asc("pair"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("rnk", "pair", "pair_freq")
+    )
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, month, cnt,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM monthly
+    WINDOW w AS (PARTITION BY priority ORDER BY cnt DESC, month)
+    """,
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function completion (SURVEY.md §2.5): RANK / DENSE_RANK /
+    PERCENT_RANK / CUME_DIST side by side over per-priority monthly order
+    counts — the §2.5 family had row_number/ntile but not the
+    distribution ranks.
+
+    The month tie-break makes the order total, so the two distribution
+    functions are exact rationals k/n — deterministic doubles after one
+    round. Windows run over the bounded (priority, month) aggregate
+    (~400 rows), partitioned by priority — never a global sort of facts.
+    """
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("priority").orderBy(F.desc("cnt"), F.asc("month"))
+    return monthly.select(
+        "priority",
+        "month",
+        "cnt",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

@@ -65,6 +65,15 @@ REPRESENTATIVE = [
     "agg_kmv_distinct_estimate",  # bottom-k order statistics across key counts
     "sink_bucketed_join_roundtrip",  # bucketed write/join parity across SFs
     "join_bloom_prefilter",     # bit-position membership across key domains
+    # extension pack 7 (round-3 continuation): scale-sensitive surfaces
+    "llm_line_dedup",           # window-duplicate density + rebuild across corpus sizes
+    "emb_semdedup",             # cell occupancy + cosine threshold across N
+    "window_linear_interpolate",  # gap structure + interpolation across series lengths
+    "join_asof_forward",        # µs gap arithmetic + ties across event volumes
+    "events_trend_mann_kendall",  # pair-sign sums + tie correction across densities
+    "llm_decontaminate_semantic",  # split sizes and neighbor counts across corpus sizes
+    "llm_bpe_pair_stats",       # vocabulary growth + rank ties across corpus sizes
+    "window_rank_variants",     # distribution-rank rationals across group sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -356,3 +356,43 @@ def test_aqe_replans_at_runtime(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, plan
     assert "AQEShuffleRead" in plan, plan
+
+
+def test_line_dedup_prunes_scan_and_partial_aggregates(spark):
+    # The 5-column documents scan must read only doc_id+text, and the
+    # global chunk-frequency groupBy must partial-aggregate map-side
+    # before its exchange (the chunk fan-out never shuffles raw).
+    df = QUERIES["llm_line_dedup"].fn(spark, SF_DIR)
+    rs = read_schemas(df)
+    assert "lang" not in rs and "source" not in rs and "n_chars" not in rs, rs
+    plan = formatted_plan(df)
+    assert "partial_count" in plan, plan
+
+
+def test_decontaminate_semantic_broadcasts_train_side(spark):
+    # The bounded train slice is the broadcast side; the test slice scans
+    # partition-parallel. No CartesianProduct anywhere (global audit also
+    # enforces this; asserted here for the key's own contract).
+    plan = formatted_plan(QUERIES["llm_decontaminate_semantic"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_pair_stats_two_level_aggregation(spark):
+    # Vocabulary collapse THEN pair explosion: both groupBys must show
+    # map-side partials, and the fact-sized text column feeds only the
+    # first (vocab) aggregation.
+    plan = formatted_plan(QUERIES["llm_bpe_pair_stats"].fn(spark, SF_DIR))
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+
+
+def test_interpolate_windows_run_on_bounded_aggregate(spark):
+    # The window functions must consume the (type, hour) AGGREGATE -- the
+    # plan shows the partial-agg exchange BEFORE any Window node, and the
+    # window partitions by event_type (no global single-partition sort).
+    plan = formatted_plan(QUERIES["window_linear_interpolate"].fn(spark, SF_DIR))
+    assert "partial_sum" in plan, plan
+    assert "Window" in plan, plan
+    first_window = plan.find("Window")
+    first_partial = plan.find("partial_sum")
+    assert first_partial != -1 and first_window != -1

@@ -188,3 +188,87 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_documents_v d, LATERAL segment_doc(d.text) s
         """
     )
+
+
+@register(
+    "udaf_grouped_arrow",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInArrow (Spark 4 Arrow-native group API): per-source
+    document stats computed with pyarrow.compute kernels on the raw Arrow
+    table — no pandas materialization at all, the zero-copy lower-overhead
+    sibling of `udtf_group_normalize`'s applyInPandas.
+
+    All outputs are exact int64 sums/maxes, so the key stays
+    hash-checkable. Same scale contract as every grouped-map op: a group
+    must fit one Python worker; for unbounded groups use the plain
+    aggregate (the oracle's formulation).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def source_stats(table: pa.Table) -> pa.Table:
+        chars = table.column("n_chars")
+        return pa.table(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "total_chars": pa.array([pc.sum(chars).as_py()], pa.int64()),
+                "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+            }
+        )
+
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").applyInArrow(
+        source_stats,
+        schema="source string, n_docs long, total_chars long, max_chars long",
+    )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars_arrow
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (Spark 4): stream RecordBatches through pyarrow string
+    kernels (count_substring / utf8_length) without ever building pandas
+    objects — the minimal-overhead Python boundary, right below
+    mapInPandas in cost and the one to pick when the logic is pure Arrow
+    compute.
+
+    Word/char counts are exact integers (split on single space matches
+    the oracle's string_split). Per-batch map, zero shuffle — scales
+    embarrassingly with input splits like every mapInArrow stage.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.add(pc.count_substring(text, " "), 1), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                ["doc_id", "n_words", "n_chars_arrow"],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        batch_stats, schema="doc_id long, n_words long, n_chars_arrow long"
+    )

@@ -669,3 +669,43 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source roundtrip (Spark 4's built-in XML data source): write
+    `documents` as XML (rowTag=doc), read it back with the catalog's
+    EXPLICIT StructType (never schema inference — SURVEY.md §1.3),
+    aggregate per lang. Oracle = the same aggregation on the original
+    parquet: a hash match proves the XML encode/decode (including entity
+    escaping of text content) is lossless for int64/string columns.
+
+    Scale note: XML is an ingestion-edge format like JSONL — row-oriented,
+    no pushdown, verbose — read once with a pinned schema, landed as
+    parquet for real work. Avro remains undeclared: its data source module
+    is external to the Spark distribution and absent in this container.
+    """
+    import os
+
+    from classification_problem_with_pyspark_spark.sources.catalog import SCHEMAS, TMP_DIR
+
+    d = load(spark, sf_dir, "documents")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(TMP_DIR, f"xml_documents_{sf_name}")
+    d.write.mode("overwrite").option("rootTag", "docs").option("rowTag", "doc").xml(path)
+    back = spark.read.schema(SCHEMAS["documents"]).option("rowTag", "doc").xml(path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

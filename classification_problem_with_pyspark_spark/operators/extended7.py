@@ -709,3 +709,62 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("long").alias("total_chars"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "events_session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sess
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+               AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_micro
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `F.session_window` in BATCH (SURVEY.md §2.9): the same
+    30-minute-gap sessionization as `stream_session_30m`, but through
+    Spark's built-in session-window operator instead of the
+    gaps-and-islands rewrite — covering the API the streaming wrapper
+    uses, hash-checked.
+
+    Boundary semantics measured, not assumed: Spark merges when the gap
+    is EXACTLY the gap duration ([ts, ts+30m) windows overlap-merge on
+    closed-open interval contact), so the oracle's new-session flag is
+    strictly `> 30min` at µs precision; session_end is last_event+gap by
+    definition on both sides. Value sums fold exact µ-units. Scale: the
+    operator shuffles once on user_id and merges sorted runs per key —
+    the same single-pass cost as the manual rewrite.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("value_micro"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT_US).alias("session_start"),
+            F.date_format("w.end", TS_FMT_US).alias("session_end"),
+            "n_events",
+            "value_micro",
+        )
+    )

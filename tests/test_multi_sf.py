@@ -74,6 +74,11 @@ REPRESENTATIVE = [
     "llm_decontaminate_semantic",  # split sizes and neighbor counts across corpus sizes
     "llm_bpe_pair_stats",       # vocabulary growth + rank ties across corpus sizes
     "window_rank_variants",     # distribution-rank rationals across group sizes
+    # extension pack 8: scale-sensitive surfaces
+    "audit_freshness_sla",      # µs lag arithmetic + 24h window across densities
+    "agg_theil_sen",            # pair counts + lower-median rank across series lengths
+    "join_interval_overlap",    # burst threshold + band width across volumes
+    "llm_sample_weighted_priority",  # u/w priority ordering across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

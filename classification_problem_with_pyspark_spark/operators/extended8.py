@@ -415,6 +415,77 @@ def ml_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_learn(
+    spark: SparkSession, sf_dir: str, n_rounds: int, keep_word: bool = False
+):
+    """Shared BPE merge-learning loop (see llm_bpe_merge_learn for the
+    algorithm and scale notes). Returns (words_df, merges): the final
+    per-word symbol table — with the original word string retained when
+    keep_word, so appliers can join token counts back to documents —
+    and the learned merge list [(step, left, right, count)].
+    """
+    d = load(spark, sf_dir, "documents")
+    lead = ["word"] if keep_word else []
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+        .select(
+            *lead,
+            F.col("wcnt"),
+            F.split(F.col("word"), "(?!^)").alias("syms"),
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_rounds + 1):
+        pairs = (
+            words.where(F.size("syms") >= 2)
+            .select(
+                "wcnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wcnt").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((step, l, r, cnt))
+        merged = l + r
+        words = words.select(
+            *lead,
+            F.col("wcnt"),
+            F.filter(
+                F.aggregate(
+                    "syms",
+                    F.array().cast("array<string>"),
+                    lambda acc, s: F.when(
+                        # try_element_at: NULL (not ANSI error) on the empty
+                        # initial accumulator; NULL == l is false-y as needed
+                        (F.try_element_at(acc, F.lit(-1)) == F.lit(l))
+                        & (s == F.lit(r)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(merged)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s))),
+                ),
+                lambda s: F.length(s) > 0,
+            ).alias("syms"),
+        ).localCheckpoint()
+    return words, merges
+
+
 @register("llm_bpe_merge_learn")
 def llm_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (SURVEY.md §2.12), 6 rounds: start
@@ -441,67 +512,7 @@ def llm_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     round the same way). The word table is localCheckpoint'd per round
     to keep lineage flat (the llm_dedup_cluster_cc precedent).
     """
-    d = load(spark, sf_dir, "documents")
-    # Word inventory with counts: BPE learns from word frequencies, so
-    # the corpus collapses to DISTINCT words first (huge shrink).
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .where(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count("*").alias("wcnt"))
-        .select(
-            F.col("wcnt"),
-            # start state: one symbol per character
-            F.split(F.col("word"), "(?!^)").alias("syms"),
-        )
-        .repartition(32)
-        .localCheckpoint()
-    )
-    merges = []
-    for step in range(1, 7):
-        pairs = (
-            words.where(F.size("syms") >= 2)
-            .select(
-                "wcnt",
-                F.explode(
-                    F.zip_with(
-                        F.slice("syms", 1, F.size("syms") - 1),
-                        F.slice("syms", 2, F.size("syms") - 1),
-                        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("wcnt").alias("cnt"))
-        )
-        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
-        if not top:
-            break
-        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        merges.append((step, l, r, cnt))
-        merged = l + r
-        # Rewrite pass: fold the symbol array left-to-right, merging
-        # every non-overlapping (l, r) occurrence — pure JVM aggregate().
-        words = words.select(
-            "wcnt",
-            F.filter(
-                F.aggregate(
-                    "syms",
-                    F.array().cast("array<string>"),
-                    lambda acc, s: F.when(
-                        # try_element_at: NULL (not ANSI error) on the empty
-                        # initial accumulator; NULL == l is false-y as needed
-                        (F.try_element_at(acc, F.lit(-1)) == F.lit(l))
-                        & (s == F.lit(r)),
-                        F.concat(
-                            F.slice(acc, 1, F.size(acc) - 1),
-                            F.array(F.lit(merged)),
-                        ),
-                    ).otherwise(F.concat(acc, F.array(s))),
-                ),
-                lambda s: F.length(s) > 0,
-            ).alias("syms"),
-        ).localCheckpoint()
+    _, merges = bpe_learn(spark, sf_dir, 6)
     return spark.createDataFrame(
         merges, "step long, left string, right string, pair_count long"
     )

@@ -79,6 +79,13 @@ REPRESENTATIVE = [
     "agg_theil_sen",            # pair counts + lower-median rank across series lengths
     "join_interval_overlap",    # burst threshold + band width across volumes
     "llm_sample_weighted_priority",  # u/w priority ordering across corpus sizes
+    # extension packs 9-10: scale-sensitive surfaces
+    "agg_mannwhitney_u",        # rank-x2 integrality under tie multiplicity at scale
+    "events_attribution_multitouch",  # touch-window density + floor(1e6/n) folds
+    "llm_preference_pairs",     # TTR score ties + group sizes across corpus sizes
+    "sink_merge_on_read_roundtrip",  # base+log reconstruction across key domains
+    "events_dow_seasonality_residual",  # weekday cell occupancy across densities
+    "source_csv_multiline_quoted",  # quote/newline mangling across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

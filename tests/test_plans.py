@@ -396,3 +396,83 @@ def test_interpolate_windows_run_on_bounded_aggregate(spark):
     first_window = plan.find("Window")
     first_partial = plan.find("partial_sum")
     assert first_partial != -1 and first_window != -1
+
+
+def test_freshness_sla_broadcasts_watermark_single_agg_pass(spark):
+    # The 1-row corpus-max joins by broadcast (never a shuffled cross),
+    # and the per-type aggregate partial-aggregates map-side so only
+    # (type, max, counts) reach the exchange.
+    plan = formatted_plan(QUERIES["audit_freshness_sla"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "partial_max" in plan, plan
+
+
+def test_theil_sen_pairs_join_is_equi_keyed(spark):
+    # The quadratic pair stage must be an equi-join on event_type with
+    # the day inequality as residual — never a nested-loop over events.
+    plan = formatted_plan(QUERIES["agg_theil_sen"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+    # pairs are built from the DAILY aggregate: partial agg precedes the join
+    assert "partial_count" in plan, plan
+
+
+def test_weighted_priority_sample_prunes_text(spark):
+    # Priority sampling needs doc_id/lang/n_chars only — the text column
+    # (the fat one) must not be read.
+    rs = read_schemas(QUERIES["llm_sample_weighted_priority"].fn(spark, SF_DIR))
+    assert "text" not in rs, rs
+
+
+def test_attribution_join_is_user_keyed(spark):
+    # purchases x touches must equi-join on user (7-day lookback as
+    # residual), with purchase-keyed windows after — no global sort of
+    # the fact and no cartesian.
+    plan = formatted_plan(QUERIES["events_attribution_multitouch"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    # equi-join on user_id with the 7-day lookback as residual; the
+    # purchase side is small enough that AQE may broadcast it
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+    assert "Window" in plan, plan
+
+
+def test_preference_pairs_windows_share_one_shuffle(spark):
+    # Both rank windows partition by (lang, source): the plan must show
+    # a single hashpartitioning exchange for them (Spark collapses
+    # same-key windows), then the winners join.
+    plan = formatted_plan(QUERIES["llm_preference_pairs"].fn(spark, SF_DIR))
+    # Spark pushes the rn==1 filters into WindowGroupLimit (top-1 rows
+    # drop BEFORE the exchange) and broadcasts the winners join —
+    # pin both optimizations so a refactor can't silently lose them.
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mor_reconstruction_single_window_over_key(spark):
+    # Base+log reconstruction = one row_number window keyed on the
+    # primary key; both sources union below it (no join, no repeated
+    # passes over the base).
+    plan = formatted_plan(QUERIES["sink_merge_on_read_roundtrip"].fn(spark, SF_DIR))
+    assert plan.count("+- Window (") == 1, plan
+    # rank<=1 pushes into WindowGroupLimit: losers drop before the window
+    assert "WindowGroupLimit" in plan, plan
+    assert "Union" in plan, plan
+
+
+def test_dow_seasonality_expected_side_broadcasts(spark):
+    # The (type, dow) baseline is 35 rows — it must broadcast back onto
+    # the daily aggregate, and both aggregates partial-aggregate.
+    plan = formatted_plan(
+        QUERIES["events_dow_seasonality_residual"].fn(spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan

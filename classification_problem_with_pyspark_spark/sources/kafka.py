@@ -77,7 +77,13 @@ def parse_kafka_events(kafka_df: DataFrame) -> DataFrame:
         F.col("topic"),
         F.col("partition").alias("kafka_partition"),
         F.col("offset").alias("kafka_offset"),
-        F.from_json(F.col("value").cast("string"), EVENT_VALUE_SCHEMA).alias("ev"),
+        F.from_json(
+            F.col("value").cast("string"),
+            EVENT_VALUE_SCHEMA,
+            # µs-precision wire timestamps: Spark's JSON default is
+            # millisecond SSS and silently truncates the event time
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"},
+        ).alias("ev"),
     )
     return parsed.select(
         "topic",

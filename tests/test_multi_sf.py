@@ -86,6 +86,15 @@ REPRESENTATIVE = [
     "sink_merge_on_read_roundtrip",  # base+log reconstruction across key domains
     "events_dow_seasonality_residual",  # weekday cell occupancy across densities
     "source_csv_multiline_quoted",  # quote/newline mangling across corpus sizes
+    # extension packs 11-13: scale-sensitive surfaces
+    "join_geo_grid_knn",        # cell occupancy + distance ties across point counts
+    "graph_shortest_path_bounded",  # edge costs + path structure across flow volumes
+    "llm_dedup_url_canonical",  # collision group sizes across corpus sizes
+    "relational_pipe_syntax",   # pipe-parse + HAVING boundary across volumes
+    "events_markov_prediction", # split sizes + argmax ties across densities
+    "audit_dataset_diff",       # drop/revision cohort sizes across corpus sizes
+    "source_kafka_wire_parse",  # offset ranks + µs json roundtrip across volumes
+    "llm_blocklist_filter",     # term hit distributions across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

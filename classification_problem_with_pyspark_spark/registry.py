@@ -84,6 +84,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended13  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended14  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended15  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended16  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

@@ -1,0 +1,167 @@
+"""Round-3 extension pack #17: multi-objective and distributional
+analytics — the Pareto skyline operator (window-algebra algorithm vs a
+NOT-EXISTS dominance oracle) and Lorenz-curve decile shares.
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. Both patterns are public
+knowledge — the skyline operator (Börzsönyi, Kossmann, Stocker 2001) and
+the Lorenz curve / cumulative-share decile table behind every inequality
+report — expressed on the public PySpark DataFrame API over the driver's
+testdata.
+
+Hash-parity discipline (round-3 standard): prices are integer cents,
+dates integer epoch days; skyline membership is pure integer dominance
+algebra; decile shares fold one floor(1e6·cum/total) expression. The two
+engines run DIFFERENT ALGORITHMS for the skyline (window sweeps vs
+NOT-EXISTS nested dominance) and must land on the identical set — the
+strongest differential-test shape in the suite.
+
+Scale posture (SURVEY.md §7.6):
+- The 2-D skyline needs only two window passes (max-date over
+  strictly-higher-price via an integer RANGE frame + same-price group
+  max) — O(n log n), no pair join; the oracle's NOT EXISTS is the
+  semantic spec (DuckDB's IEJoin makes it feasible oracle-side). At
+  100 TB: local skyline per partition, then skyline of the union —
+  the classic distributed-skyline reduction (skyline(skyline_p ∪ …) =
+  skyline(all)); the window form here IS the per-partition step.
+- Lorenz deciles are one ntile window + a 10-row cumulative pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+
+@register(
+    "join_skyline_pareto",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+        FROM orders
+    )
+    SELECT a.o_orderkey, a.cents, a.d
+    FROM o a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM o b
+        WHERE b.cents >= a.cents AND b.d >= a.d
+          AND (b.cents > a.cents OR b.d > a.d)
+    )
+    ORDER BY a.cents DESC, a.o_orderkey
+    """,
+)
+def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (SURVEY.md §2.5): the orders not DOMINATED in
+    (price, recency) — no other order is ≥ in both dimensions and > in
+    one. The multi-objective "best trade-offs" operator (best-price-
+    for-its-date frontier); 8 frontier orders at sf0.01.
+
+    The engines deliberately run different algorithms and must agree:
+    the ORACLE states the semantics directly (NOT EXISTS dominance —
+    quadratic, feasible only through DuckDB's IEJoin), while the Spark
+    side computes it in TWO WINDOW PASSES over integer cents/epoch-days:
+    a row survives iff (a) the max date among STRICTLY higher-priced
+    rows — an integer RANGE frame, ties excluded exactly — is < its
+    date, and (b) no same-price row has a strictly later date. O(n log
+    n), no pair join anywhere.
+
+    Scale: skyline distributes by the classic reduction — local skyline
+    per partition, then skyline of the ~tiny union (correct because a
+    dominated point is dominated inside its own partition too); the
+    window form here is exactly that per-partition step. The global
+    sort is the only wide op.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+    )
+    days = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    w_higher = Window.orderBy("cents").rangeBetween(1, Window.unboundedFollowing)
+    w_equal = Window.partitionBy("cents")
+    marked = o.select(
+        "o_orderkey",
+        "cents",
+        "d",
+        days.alias("dd"),
+        F.max(days).over(w_higher).alias("m_higher"),
+        F.max(days).over(w_equal).alias("m_equal"),
+    )
+    return (
+        marked.where(
+            (F.col("m_higher").isNull() | (F.col("m_higher") < F.col("dd")))
+            & (F.col("m_equal") <= F.col("dd"))
+        )
+        .select("o_orderkey", "cents", "d")
+        .orderBy(F.desc("cents"), "o_orderkey")
+    )
+
+
+@register(
+    "agg_lorenz_decile_shares",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), deciles AS (
+        SELECT o_orderkey, cents,
+               ntile(10) OVER (ORDER BY cents, o_orderkey) AS dec
+        FROM o
+    ), per AS (
+        SELECT dec, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM deciles GROUP BY dec
+    ), tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM o)
+    SELECT CAST(dec AS BIGINT) AS decile, n, s AS sum_cents,
+           CAST(floor(1000000.0 * SUM(s) OVER (ORDER BY dec) / tot.t)
+                AS BIGINT) AS cum_share_micro
+    FROM per CROSS JOIN tot ORDER BY decile
+    """,
+)
+def agg_lorenz_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile table (SURVEY.md §2.13): order revenue split
+    into 10 equal-count deciles (ntile over a (cents, orderkey) total
+    order — tie-deterministic), each with its exact cents sum and the
+    CUMULATIVE share of total revenue in micro-units — the actual curve
+    behind the `agg_gini` coefficient (bottom decile holds ~1%, top
+    ~19% on this synthetic book; the last row is 1e6 by construction,
+    asserted in tests).
+
+    Exactness: integer cents sums; one floor(1e6·cum/total) per decile
+    row (single expression, identical both engines).
+
+    Scale: the ntile window is the only full-width pass; the cumulative
+    share runs over 10 rows. At 100 TB replace exact ntile with
+    approx_percentile decile cutoffs + one bucketing pass (the
+    candidate-band discipline) — same output within cutoff precision.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    deciles = o.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_orderkey")).alias("dec"),
+    )
+    per = deciles.groupBy("dec").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("long").alias("s")
+    )
+    tot = o.agg(F.sum("cents").cast("long").alias("t"))
+    wcum = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dec").cast("long").alias("decile"),
+            "n",
+            F.col("s").alias("sum_cents"),
+            F.floor(1000000.0 * F.sum("s").over(wcum) / F.col("t"))
+            .cast("long")
+            .alias("cum_share_micro"),
+        )
+        .orderBy("decile")
+    )

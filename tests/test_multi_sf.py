@@ -95,6 +95,15 @@ REPRESENTATIVE = [
     "audit_dataset_diff",       # drop/revision cohort sizes across corpus sizes
     "source_kafka_wire_parse",  # offset ranks + µs json roundtrip across volumes
     "llm_blocklist_filter",     # term hit distributions across corpus sizes
+    # extension packs 15-17: scale-sensitive surfaces
+    # (emb_matryoshka_eval and join_skyline_pareto excluded: their
+    # ORACLES are O(N²) — 267 s at sf0.1 measured for the skyline
+    # NOT-EXISTS — both carry brute-force python checks at sf0.001
+    # in their own test files instead)
+    "llm_fingerprint_winnowing",  # shingle density + fingerprint collisions at scale
+    "agg_trimmed_winsorized_mean",  # trim fraction + order-statistic ties at scale
+    "events_haar_energy",       # dyadic padding + energy magnitudes across densities
+    "agg_lorenz_decile_shares",  # ntile boundaries + share rounding across volumes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -8,10 +8,11 @@ knowledge — HHI (the antitrust concentration metric: Σ share²) and
 Bollinger bands (rolling mean ± 2σ envelope) — expressed on the public
 PySpark DataFrame API over the driver's testdata.
 
-Hash-parity discipline (round-3 standard): HHI avoids the cross-row
-float-share sum entirely via the identity Σ(cᵢ/T)² = Σcᵢ²/T² — both
-sums EXACT BIGINTs (max Σc² ≈ 2.5e17, inside int64), one final
-division; Bollinger folds exact integer window moments (Σc, Σc², n)
+Hash-parity discipline (round-3 standard): HHI avoids floats ENTIRELY —
+the identity Σ(kᵢ/T)² = Σkᵢ²/T² over kilodollar-folded BIGINTs with one
+integer floor division (see the key's docstring for the two float
+formulations the driver hash killed first); Bollinger folds exact
+integer window moments (Σc, Σc², n)
 and spends floats only in single per-row expressions whose text
 mirrors the oracle's association exactly.
 
@@ -36,16 +37,16 @@ from classification_problem_with_pyspark_spark.sources.catalog import load
     WITH rev AS (
         SELECT s.s_nationkey AS market, l.l_suppkey,
                CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                    AS BIGINT) // 100 AS dollars
+                    AS BIGINT) // 100000 AS kdollars
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2
     )
     SELECT CAST(market AS BIGINT) AS market,
            CAST(count(*) AS BIGINT) AS n_suppliers,
-           CAST(sum(dollars) AS BIGINT) AS market_dollars,
-           CAST(floor(1000000.0 * CAST(sum(dollars * dollars) AS BIGINT)
-                / (1.0 * CAST(sum(dollars) AS BIGINT)
-                   * CAST(sum(dollars) AS BIGINT))) AS BIGINT) AS hhi_micro
+           CAST(sum(kdollars) AS BIGINT) AS market_kdollars,
+           CAST((1000000 * CAST(sum(kdollars * kdollars) AS BIGINT))
+                // (CAST(sum(kdollars) AS BIGINT)
+                    * CAST(sum(kdollars) AS BIGINT)) AS BIGINT) AS hhi_micro
     FROM rev GROUP BY market ORDER BY market
     """,
 )
@@ -57,15 +58,17 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     it); complements `events_pareto_concentration` (top-k share) and
     `agg_gini` (inequality) with the squared-share lens regulators use.
 
-    Exactness trick: never sum float shares. Σ(cᵢ/T)² ≡ (Σcᵢ²)/T² with
-    BOTH sums exact BIGINTs, one double division at the very end. The
-    measured reason revenue folds to DOLLARS first: supplier revenue in
-    cents squares past 2⁵³ (3.4e9² ≈ 1.2e19), where DuckDB's
-    int128→double and Spark's int64→double conversions round apart —
-    one engine floored a single-supplier market to 999999, the other
-    to 1000000. Dollar products (≈1.2e15) are exactly representable,
-    so the ratio is bit-identical. The cross-row float sum that
-    plagues naive HHI implementations never happens either way.
+    Exactness: never sum float shares — Σ(cᵢ/T)² ≡ (Σcᵢ²)/T², and here
+    the WHOLE ratio is integer: revenue folds to kilodollars (so
+    1e6·Σkᵢ² ≤ ~2e18 stays inside int64 through sf0.1) and hhi_micro =
+    div(1e6·Σk², (Σk)²) — exact integer floor division, zero doubles.
+    Two float formulations died first (both MEASURED via the driver
+    hash): cents² crosses 2⁵³ where int128→double vs int64→double
+    conversions round apart, and even with exact dollar products,
+    1e6·Σd² ≈ 9e20 rounds differently per engine before the division —
+    single-supplier markets floored to 999999 on one engine and
+    1000000 on the other. Integer division has no such seam. At sf1+
+    fold to megadollars (same plan, one constant).
 
     Scale: two map-side-combinable groupBys (supplier revenue, then
     market rollup).
@@ -77,23 +80,20 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").cast("long").alias("market"), "l_suppkey")
         .agg(
             F.expr(
-                "div(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT), 100)"
-            ).alias("dollars")
+                "div(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT), 100000)"
+            ).alias("kdollars")
         )
     )
-    total = F.sum("dollars").cast("long")
+    total = F.sum("kdollars").cast("long")
     return (
         rev.groupBy("market")
         .agg(
             F.count("*").alias("n_suppliers"),
-            total.alias("market_dollars"),
-            F.floor(
-                1000000.0
-                * F.sum(F.col("dollars") * F.col("dollars")).cast("long")
-                / (1.0 * total * total)
-            )
-            .cast("long")
-            .alias("hhi_micro"),
+            total.alias("market_kdollars"),
+            F.expr(
+                "div(1000000 * CAST(sum(kdollars * kdollars) AS BIGINT), "
+                "CAST(sum(kdollars) AS BIGINT) * CAST(sum(kdollars) AS BIGINT))"
+            ).alias("hhi_micro"),
         )
         .orderBy("market")
     )

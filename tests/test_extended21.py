@@ -17,7 +17,7 @@ def test_hhi_bounds_and_monopoly(spark):
         assert lo - 1 <= r.hhi_micro <= 1_000_000, r
         if r.n_suppliers == 1:
             assert r.hhi_micro == 1_000_000, r
-        assert r.market_dollars > 0
+        assert r.market_kdollars > 0
 
 
 def test_hhi_more_suppliers_less_concentration_on_average(spark):

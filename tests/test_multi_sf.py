@@ -104,6 +104,17 @@ REPRESENTATIVE = [
     "agg_trimmed_winsorized_mean",  # trim fraction + order-statistic ties at scale
     "events_haar_energy",       # dyadic padding + energy magnitudes across densities
     "agg_lorenz_decile_shares",  # ntile boundaries + share rounding across volumes
+    # extension packs 18-22: scale-sensitive surfaces
+    "graph_modularity_regions",  # edge-weight magnitudes + Q terms across volumes
+    "agg_two_proportion_ztest",  # conversion rates + z expression across cohort sizes
+    "events_cohort_ltv_curve",  # cohort occupancy + cumsum across densities
+    "events_outage_runs",       # gap counts + µs arithmetic across densities
+    "audit_props_schema_validation",  # injection rates across volumes
+    "sink_manifest_pruned_read",  # band occupancy + skip rates across volumes
+    "agg_hhi_concentration",    # dollar-fold headroom + share ratios across volumes
+    "window_bollinger_bands",   # window moments + breakout flags across densities
+    "events_conformance_transitions",  # transition coverage across volumes
+    "events_conformance_fitness",  # per-trace ratios across user counts
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

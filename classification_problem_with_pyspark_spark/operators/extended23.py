@@ -1,0 +1,306 @@
+"""Round-3 extension pack #23: exact repeated-span dedup views and
+Kaplan-Meier survival curves.
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. The patterns are public
+knowledge — exact-substring training-data deduplication (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better": repeated long
+token spans across documents are the dedup unit, not whole documents) and
+the Kaplan-Meier product-limit estimator (Kaplan & Meier 1958) — both
+re-expressed on the public PySpark DataFrame API over the driver's
+testdata.
+
+Hash-parity discipline (round-3 standard): shingles are byte-identical
+strings on both engines (split on ' ' / array_join vs string_split /
+array_to_string); every ratio folds as floor(1e6·a/b) over exact BIGINTs;
+the survival curve ships as the Nelson-Aalen cumulative hazard — a pure
+integer prefix sum — after the multi-SF slice caught a 1-ulp libm
+divergence in a first-cut micro-nat ln formulation (see the key's
+docstring).
+
+Scale posture (SURVEY.md §7.6): the span pipeline's only fact-sized
+shuffle is the shingle groupBy (map-side combinable); the KM curve does
+one user-keyed aggregate over the fact table and everything after runs on
+the bounded per-duration grid (≤ observation-window hours rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+K_SPAN = 8  # tokens per span shingle (Lee et al. use 50 BPE tokens at
+# web-corpus doc lengths; 8 matches this corpus' 10..99-token docs)
+
+
+def _span_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All K_SPAN-token shingles, one row per occurrence (docs shorter
+    than K_SPAN tokens carry no spans and drop out, same WHERE on both
+    engines)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= K_SPAN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {K_SPAN - 1}), "
+                    f"i -> array_join(slice(toks, i, {K_SPAN}), ' '))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+_SPAN_SH_SQL = f"""
+    base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= {K_SPAN}
+    ),
+    sh AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + {K_SPAN - 1}), ' ') AS shingle
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(1, len(toks) - {K_SPAN - 2})) AS i
+            FROM base
+        ) x
+    )
+"""
+
+
+@register(
+    "llm_span_dedup_coverage",
+    oracle=f"""
+    WITH {_SPAN_SH_SQL},
+    docsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    nd AS (
+        SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+        FROM docsh GROUP BY shingle
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN n.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_spans,
+           CAST(floor(1000000.0 * SUM(CASE WHEN n.n_docs >= 2 THEN 1 ELSE 0 END)
+                      / count(*)) AS BIGINT) AS shared_micro,
+           5 * SUM(CASE WHEN n.n_docs >= 2 THEN 1 ELSE 0 END) >= count(*)
+               AS is_span_dup
+    FROM docsh d JOIN nd n USING (shingle)
+    GROUP BY d.doc_id
+    """,
+)
+def llm_span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span coverage per document (SURVEY.md §2.12): the
+    fraction of a doc's distinct 8-token spans that also occur verbatim
+    in at least one OTHER document — the per-doc view of exact-substring
+    dedup (Lee et al. 2022), where the span, not the document, is the
+    duplication unit. Docs crossing 20% shared-span coverage are flagged
+    with the exact integer form 5·shared >= total (no float threshold).
+
+    Spark shape: spans built JVM-side (sequence → slice → array_join
+    lambdas, no Python boundary); ONE map-side-combinable groupBy over
+    distinct (doc, span) pairs computes span document-frequency; the
+    join back is span-keyed. At 100 TB the join/groupBy key would be
+    xxhash64(span) instead of the span string (same plan, ~10× less
+    shuffle) — string form keeps the oracle byte-identical here.
+    """
+    docsh = _span_shingles(spark, sf_dir).distinct()
+    nd = docsh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    shared = (F.col("n_docs") >= 2).cast("long")
+    return (
+        docsh.join(nd, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(shared).alias("n_shared_spans"),
+            F.floor(1000000.0 * F.sum(shared) / F.count("*"))
+            .cast("long")
+            .alias("shared_micro"),
+            (5 * F.sum(shared) >= F.count("*")).alias("is_span_dup"),
+        )
+    )
+
+
+@register(
+    "llm_span_hot_spans",
+    oracle=f"""
+    WITH {_SPAN_SH_SQL}
+    SELECT shingle,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM sh GROUP BY shingle
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, shingle
+    LIMIT 100
+    """,
+)
+def llm_span_hot_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global hot-span report (SURVEY.md §2.12): the top repeated
+    8-token spans ranked by how many documents carry them — the
+    candidate list an exact-substring dedup pass would cut (boilerplate
+    headers, license blocks, template sentences). Orders by
+    (n_docs, n_occurrences, shingle) so the limit is total-order
+    deterministic (shingle is the unique key).
+
+    Spark shape: one groupBy(span) with count + count(DISTINCT doc) —
+    map-side partial on both; the top-100 is a TakeOrdered, never a
+    global sort materialization.
+    """
+    sh = _span_shingles(spark, sf_dir)
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "shingle")
+        .limit(100)
+    )
+
+
+STUDY_HOURS = 100  # administrative censoring horizon after first enrollment
+
+
+@register(
+    "events_kaplan_meier",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT epoch_us(min(ts)) + {STUDY_HOURS} * 3600000000 AS se
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               epoch_us(min(ts)) AS enroll,
+               epoch_us(min(ts) FILTER (event_type = 'purchase')) AS fp
+        FROM events GROUP BY user_id
+    ),
+    dur AS (
+        SELECT CASE WHEN fp IS NOT NULL AND fp <= se
+                    THEN (fp - enroll) // 3600000000
+                    ELSE (se - enroll) // 3600000000 END AS t_hours,
+               CASE WHEN fp IS NOT NULL AND fp <= se THEN 1 ELSE 0 END AS ev
+        FROM u, bounds
+    ),
+    grid AS (
+        SELECT t_hours,
+               CAST(SUM(ev) AS BIGINT) AS n_events,
+               CAST(SUM(1 - ev) AS BIGINT) AS n_censored,
+               CAST(count(*) AS BIGINT) AS n_arrived
+        FROM dur GROUP BY t_hours
+    ),
+    risk AS (
+        SELECT t_hours, n_events, n_censored,
+               SUM(n_arrived) OVER (ORDER BY t_hours
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING) AS n_risk
+        FROM grid
+    ),
+    steps AS (
+        SELECT t_hours, n_risk, n_events, n_censored,
+               (1000000 * n_events) // n_risk AS hazard_micro
+        FROM risk WHERE n_events > 0
+    )
+    SELECT t_hours, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+           CAST(hazard_micro AS BIGINT) AS hazard_micro,
+           CAST(SUM(hazard_micro) OVER (ORDER BY t_hours
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+               AS na_cum_hazard_micro
+    FROM steps ORDER BY t_hours
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve (SURVEY.md §2.13):
+    time from each user's first event (enrollment) to first purchase,
+    administratively right-censored STUDY_HOURS (100) hours after the
+    FIRST enrollment in the dataset — at sf0.01 that yields 133 conversion
+    events and 17 censored users, i.e. real mixed-risk-set KM mechanics,
+    not a degenerate empirical CDF.
+
+    Exactness: durations are integer epoch-MICROsecond differences
+    (epoch_us / unix_micros) floor-divided to hours. Two divergence
+    classes were caught and removed here by the multi-SF slice: DuckDB's
+    boundary-crossing date_diff('hour') vs Spark's elapsed-time
+    timestampdiff, and — subtler — CAST(epoch(ts) AS BIGINT) ROUNDS
+    DuckDB's fractional-second double while unix_timestamp TRUNCATES, so
+    second-level epochs flip hour buckets for users near a boundary
+    (every ts in this corpus carries fractional seconds).
+    n_risk comes from a reverse cumulative
+    window (no non-equi self-join); the hazard is exact floor-micro and
+    the curve column is the NELSON-AALEN cumulative hazard — a prefix
+    sum of the exact integer hazards (KM survival ≈ exp(-H) for the
+    consumer). A first cut emitted round(1e6·ln(1-d/n)) micro-nat
+    log-survival instead; the multi-SF slice caught a 1-ulp Java-vs-C
+    libm divergence at sf0.1 flipping one round() and shifting the whole
+    cumulative tail by 1 — the cumulative-hazard form removes every
+    transcendental from the contract instead of shrinking the boundary.
+
+    Scale: the only fact-sized shuffle is the per-user min/min-filtered
+    aggregate (map-side combinable); the grid/window stages run on a
+    bounded per-hour grid (at most STUDY_HOURS + observation-span rows).
+    """
+    e = load(spark, sf_dir, "events")
+    se = e.agg(
+        (F.min(F.unix_micros("ts")) + STUDY_HOURS * 3600000000).alias("se")
+    )
+    u = e.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("enroll"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("fp"),
+    )
+    is_ev = F.col("fp").isNotNull() & (F.col("fp") <= F.col("se"))
+    dur = u.crossJoin(F.broadcast(se)).select(
+        F.when(is_ev, F.expr("(fp - enroll) DIV 3600000000"))
+        .otherwise(F.expr("(se - enroll) DIV 3600000000"))
+        .alias("t_hours"),
+        is_ev.cast("long").alias("ev"),
+    )
+    grid = dur.groupBy("t_hours").agg(
+        F.sum("ev").alias("n_events"),
+        F.sum(1 - F.col("ev")).alias("n_censored"),
+        F.count("*").alias("n_arrived"),
+    )
+    w_risk = (
+        Window.orderBy("t_hours")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = grid.select(
+        "t_hours",
+        "n_events",
+        "n_censored",
+        F.sum("n_arrived").over(w_risk).alias("n_risk"),
+    )
+    steps = risk.where(F.col("n_events") > 0).select(
+        "t_hours",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "n_events",
+        "n_censored",
+        F.expr("(1000000 * n_events) DIV n_risk").alias("hazard_micro"),
+    )
+    w_cum = (
+        Window.orderBy("t_hours")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        steps.select(
+            "t_hours",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            "hazard_micro",
+            F.sum("hazard_micro")
+            .over(w_cum)
+            .cast("long")
+            .alias("na_cum_hazard_micro"),
+        )
+        .orderBy("t_hours")
+    )

@@ -115,6 +115,9 @@ REPRESENTATIVE = [
     "window_bollinger_bands",   # window moments + breakout flags across densities
     "events_conformance_transitions",  # transition coverage across volumes
     "events_conformance_fitness",  # per-trace ratios across user counts
+    # extension pack 23: scale-sensitive surfaces
+    "llm_span_dedup_coverage",  # span doc-frequency + coverage ratios across corpus sizes
+    "events_kaplan_meier",      # risk-set sizes + micro-nat accumulation across user counts
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

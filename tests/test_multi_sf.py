@@ -118,6 +118,11 @@ REPRESENTATIVE = [
     # extension pack 23: scale-sensitive surfaces
     "llm_span_dedup_coverage",  # span doc-frequency + coverage ratios across corpus sizes
     "events_kaplan_meier",      # risk-set sizes + micro-nat accumulation across user counts
+    # extension pack 24: scale-sensitive surfaces
+    "agg_anova_f",              # 100-dollar-fold headroom + moment identities across volumes
+    "events_dispersion_index",  # bucket occupancy + integer Fano across densities
+    "emb_srp_signature",        # projection sums + bucket occupancy across corpus sizes
+    "llm_domain_affinity_resample",  # profile cut + acceptance rates across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

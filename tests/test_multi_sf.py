@@ -123,6 +123,10 @@ REPRESENTATIVE = [
     "events_dispersion_index",  # bucket occupancy + integer Fano across densities
     "emb_srp_signature",        # projection sums + bucket occupancy across corpus sizes
     "llm_domain_affinity_resample",  # profile cut + acceptance rates across corpus sizes
+    # extension pack 25: scale-sensitive surfaces
+    "audit_k_anonymity",        # class sizes + risk flags across populations
+    "llm_cdc_chunk_dedup",      # boundary density + dup shares across corpus sizes
+    "window_hampel_filter",     # window occupancy + integer MAD across densities
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -64,17 +64,26 @@ def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     The engines deliberately run different algorithms and must agree:
     the ORACLE states the semantics directly (NOT EXISTS dominance —
     quadratic, feasible only through DuckDB's IEJoin), while the Spark
-    side computes it in TWO WINDOW PASSES over integer cents/epoch-days:
-    a row survives iff (a) the max date among STRICTLY higher-priced
-    rows — an integer RANGE frame, ties excluded exactly — is < its
-    date, and (b) no same-price row has a strictly later date. O(n log
-    n), no pair join anywhere.
+    side reduces to the PER-PRICE-GROUP table first: collapse to one
+    row per distinct price (group max date), take a RUNNING max over
+    prices descending (a growing ROWS frame Spark evaluates
+    incrementally), lag it by one group to get "max date among strictly
+    higher-priced", and join the two bounded columns back on price. A
+    row survives iff that lagged cummax is < its date and it carries
+    its own price group's max date.
+
+    [MEASURED] The first cut phrased "strictly higher-priced" as ONE
+    rangeBetween(1, unboundedFollowing) window — semantically identical,
+    but Spark evaluates shrinking unbounded-FOLLOWING frames by
+    recomputing the aggregate per row: O(n²), 380 s at sf0.1 (63% of
+    the whole coverage sweep). The group/cummax/lag form is the same
+    O(n log n) DuckDB gets from its segment trees: 0.9 s at sf0.1.
 
     Scale: skyline distributes by the classic reduction — local skyline
     per partition, then skyline of the ~tiny union (correct because a
     dominated point is dominated inside its own partition too); the
-    window form here is exactly that per-partition step. The global
-    sort is the only wide op.
+    price-keyed join back is the only fact-sized shuffle beyond the
+    bounded per-price sort.
     """
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -82,18 +91,27 @@ def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
     )
     days = F.datediff(F.col("d"), F.lit("1970-01-01"))
-    w_higher = Window.orderBy("cents").rangeBetween(1, Window.unboundedFollowing)
-    w_equal = Window.partitionBy("cents")
-    marked = o.select(
-        "o_orderkey",
+    per_price = o.select("cents", days.alias("dd")).groupBy("cents").agg(
+        F.max("dd").alias("m_equal")
+    )
+    w_run = (
+        Window.orderBy(F.desc("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.orderBy(F.desc("cents"))
+    frontier = per_price.select(
         "cents",
-        "d",
-        days.alias("dd"),
-        F.max(days).over(w_higher).alias("m_higher"),
-        F.max(days).over(w_equal).alias("m_equal"),
+        "m_equal",
+        F.max("m_equal").over(w_run).alias("cummax"),
+    ).select(
+        "cents",
+        "m_equal",
+        F.lag("cummax").over(w_lag).alias("m_higher"),
     )
     return (
-        marked.where(
+        o.select("o_orderkey", "cents", "d", days.alias("dd"))
+        .join(frontier, "cents")
+        .where(
             (F.col("m_higher").isNull() | (F.col("m_higher") < F.col("dd")))
             & (F.col("m_equal") <= F.col("dd"))
         )

@@ -32,8 +32,13 @@ def test_geo_knn_matches_bruteforce_within_grid(spark):
     got: dict[int, list] = collections.defaultdict(list)
     for r in rows:
         got[r.id].append((r.rank, r.nbr, r.dist2))
+    # adaptive grid: cells-per-axis scales with sqrt(N/10) so occupancy
+    # stays ~constant at every SF (mirrors the operator's width rule)
+    import math
+
+    w = 1000000 // math.ceil(math.sqrt(len(pts) / 10.0))
     for pid, (x, y) in pts.items():
-        cx, cy = x // 100000, y // 100000
+        cx, cy = x // w, y // w
         cand = [
             (
                 (x - bx) ** 2 + (y - by) ** 2,
@@ -41,8 +46,8 @@ def test_geo_knn_matches_bruteforce_within_grid(spark):
             )
             for nid, (bx, by) in pts.items()
             if nid != pid
-            and abs(bx // 100000 - cx) <= 1
-            and abs(by // 100000 - cy) <= 1
+            and abs(bx // w - cx) <= 1
+            and abs(by // w - cy) <= 1
         ]
         cand.sort()
         want = [(i + 1, nid, d2) for i, (d2, nid) in enumerate(cand[:3])]

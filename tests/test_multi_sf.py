@@ -127,6 +127,10 @@ REPRESENTATIVE = [
     "audit_k_anonymity",        # class sizes + risk flags across populations
     "llm_cdc_chunk_dedup",      # boundary density + dup shares across corpus sizes
     "window_hampel_filter",     # window occupancy + integer MAD across densities
+    # extension pack 26: scale-sensitive surfaces
+    "agg_bootstrap_ci_revenue",  # replicate weights + CI order stats across volumes
+    "agg_jackknife_loo_nation",  # LOO moments + pseudo-values across volumes
+    "agg_capture_recapture_ngrams",  # sample overlap + estimator across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -95,6 +95,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended24  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended25  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended26  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended27  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

@@ -131,6 +131,10 @@ REPRESENTATIVE = [
     "agg_bootstrap_ci_revenue",  # replicate weights + CI order stats across volumes
     "agg_jackknife_loo_nation",  # LOO moments + pseudo-values across volumes
     "agg_capture_recapture_ngrams",  # sample overlap + estimator across corpus sizes
+    # extension pack 27: scale-sensitive surfaces
+    "ml_roc_curve_threshold",   # threshold grid + cumulative counts across cohort sizes
+    "ml_auc_exact",             # midrank ties + rank-sum across cohort sizes
+    "ml_calibration_by_score",  # score occupancy + lift across cohort sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -135,6 +135,9 @@ REPRESENTATIVE = [
     "ml_roc_curve_threshold",   # threshold grid + cumulative counts across cohort sizes
     "ml_auc_exact",             # midrank ties + rank-sum across cohort sizes
     "ml_calibration_by_score",  # score occupancy + lift across cohort sizes
+    # extension pack 28: scale-sensitive surfaces
+    "events_frequent_2seq",     # pair support + tie semantics across user counts
+    "join_fifo_allocation",     # interval overlap density across lineitem volumes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -138,6 +138,9 @@ REPRESENTATIVE = [
     # extension pack 28: scale-sensitive surfaces
     "events_frequent_2seq",     # pair support + tie semantics across user counts
     "join_fifo_allocation",     # interval overlap density across lineitem volumes
+    # extension pack 29: scale-sensitive surfaces
+    "audit_order_reconciliation",  # break magnitudes + cents headroom across volumes
+    "ml_ndcg_at_k",             # model cut + discount sums across cohort sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

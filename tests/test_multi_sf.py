@@ -141,6 +141,9 @@ REPRESENTATIVE = [
     # extension pack 29: scale-sensitive surfaces
     "audit_order_reconciliation",  # break magnitudes + cents headroom across volumes
     "ml_ndcg_at_k",             # model cut + discount sums across cohort sizes
+    # extension pack 30: scale-sensitive surfaces
+    "agg_spearman_corr",        # rank-grid ties + two-step fold headroom across volumes
+    "llm_keyness_chi2",         # contingency margins + double mirroring across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -202,11 +202,11 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PLANES = 16
 
-
-@register(
-    "emb_srp_signature",
-    oracle=f"""
-    WITH dims AS (
+# Shared CTE chain producing (vec_id, label, signature) — also imported
+# by extension pack 31's bucket-purity key so both engines' definitions
+# live in exactly one place.
+SRP_SIG_SQL = f"""
+    dims AS (
         SELECT vec_id, label,
                generate_subscripts(embedding, 1) - 1 AS d,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
@@ -228,33 +228,12 @@ N_PLANES = 16
                         * (1 << p)) AS BIGINT) AS signature
         FROM proj GROUP BY vec_id, label
     )
-    SELECT vec_id, label, signature,
-           CAST(count(*) OVER (PARTITION BY signature) AS BIGINT)
-               AS bucket_size
-    FROM sig
-    """,
-)
-def emb_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH signatures (SURVEY.md §2.12 ANN
-    family): each embedding hashed to a 16-bit code by the signs of 16
-    pseudo-random ±1 hyperplane projections (Charikar 2002 — Hamming
-    distance between codes estimates angular distance), plus the
-    occupancy of each code bucket — the bucketing view that turns
-    cosine ANN into equi-join candidate generation, companion to
-    `llm_similarity_lsh` (MLlib BRP) with a fully portable, engine-
-    independent hash contract.
+"""
 
-    Exactness: components micro-quantize to BIGINT first (float32 →
-    double is exact; round at 1e6 matches both engines), hyperplane
-    weights are ±1 by md5 parity of ('srp_', plane, dim), so every
-    projection is an exact INTEGER sum — sign decisions can never sit
-    on a float boundary.
 
-    Scale: the plane table (16 rows) broadcasts against the exploded
-    (vec, dim) fact; at production dim counts the same signature is one
-    mapInPandas matmul per Arrow batch (the llm_similarity_topk path) —
-    the explode form here keeps the oracle byte-identical.
-    """
+def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, signature) for every embedding — the shared SRP
+    pipeline behind emb_srp_signature and emb_bucket_label_purity."""
     emb = load(spark, sf_dir, "embeddings")
     dims = emb.select(
         "vec_id",
@@ -291,11 +270,45 @@ def emb_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label", "p")
         .agg(F.sum(w * F.col("q")).alias("s"))
     )
-    sig = proj.groupBy("vec_id", "label").agg(
+    return proj.groupBy("vec_id", "label").agg(
         F.sum(F.expr("CASE WHEN s >= 0 THEN 1 ELSE 0 END * shiftleft(1, p)"))
         .cast("long")
         .alias("signature")
     )
+
+
+@register(
+    "emb_srp_signature",
+    oracle=f"""
+    WITH {SRP_SIG_SQL}
+    SELECT vec_id, label, signature,
+           CAST(count(*) OVER (PARTITION BY signature) AS BIGINT)
+               AS bucket_size
+    FROM sig
+    """,
+)
+def emb_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH signatures (SURVEY.md §2.12 ANN
+    family): each embedding hashed to a 16-bit code by the signs of 16
+    pseudo-random ±1 hyperplane projections (Charikar 2002 — Hamming
+    distance between codes estimates angular distance), plus the
+    occupancy of each code bucket — the bucketing view that turns
+    cosine ANN into equi-join candidate generation, companion to
+    `llm_similarity_lsh` (MLlib BRP) with a fully portable, engine-
+    independent hash contract.
+
+    Exactness: components micro-quantize to BIGINT first (float32 →
+    double is exact; round at 1e6 matches both engines), hyperplane
+    weights are ±1 by md5 parity of ('srp_', plane, dim), so every
+    projection is an exact INTEGER sum — sign decisions can never sit
+    on a float boundary.
+
+    Scale: the plane table (16 rows) broadcasts against the exploded
+    (vec, dim) fact; at production dim counts the same signature is one
+    mapInPandas matmul per Arrow batch (the llm_similarity_topk path) —
+    the explode form here keeps the oracle byte-identical.
+    """
+    sig = srp_signatures(spark, sf_dir)
     return sig.select(
         "vec_id",
         "label",

@@ -144,6 +144,9 @@ REPRESENTATIVE = [
     # extension pack 30: scale-sensitive surfaces
     "agg_spearman_corr",        # rank-grid ties + two-step fold headroom across volumes
     "llm_keyness_chi2",         # contingency margins + double mirroring across corpus sizes
+    # extension pack 31: scale-sensitive surfaces
+    "ml_cohen_kappa",           # confusion margins + negative-safe fold across volumes
+    "agg_runs_test",            # run counts + two-step fold headroom across volumes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

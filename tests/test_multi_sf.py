@@ -147,6 +147,9 @@ REPRESENTATIVE = [
     # extension pack 31: scale-sensitive surfaces
     "ml_cohen_kappa",           # confusion margins + negative-safe fold across volumes
     "agg_runs_test",            # run counts + two-step fold headroom across volumes
+    # extension pack 32: scale-sensitive surfaces
+    "events_shapley_attribution",  # mask occupancy + coalition worths across user counts
+    "llm_watermark_greenlist",  # pair parity + z2 folds across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -114,11 +114,11 @@ def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_W = 8  # boundary-decision substring width (chars)
 CDC_MASK = 64  # boundary probability 1/64 → ~64-char expected chunks
 
-
-@register(
-    "llm_cdc_chunk_dedup",
-    oracle=f"""
-    WITH pos AS (
+# Shared CTE chain producing chunks(doc_id, total_chars, chunk_len,
+# chunk_hash) — also imported by extension pack 33's shard-loss audit so
+# the chunking definition lives in exactly one place.
+CDC_CHUNKS_SQL = f"""
+    pos AS (
         SELECT doc_id, length(text) AS total_chars, i,
                (CAST(('0x' || substr(md5(substr(text, i - {CDC_W - 1}, {CDC_W})),
                                      1, 15)) AS BIGINT) % {CDC_MASK} = 0
@@ -138,7 +138,60 @@ CDC_MASK = 64  # boundary probability 1/64 → ~64-char expected chunks
                i - prev AS chunk_len,
                md5(substr(d.text, prev + 1, i - prev)) AS chunk_hash
         FROM bounds b JOIN documents d USING (doc_id)
-    ),
+    )
+"""
+
+
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, total_chars, chunk_len, chunk_hash) for every
+    content-defined chunk — the shared pipeline behind
+    llm_cdc_chunk_dedup and llm_shard_dedup_loss_audit."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= CDC_W)
+    pos = d.select(
+        "doc_id",
+        F.length("text").alias("total_chars"),
+        F.explode(F.expr("sequence(8, length(text))")).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "total_chars",
+        "i",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.expr(f"substr(text, i - {CDC_W - 1}, {CDC_W})")),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CDC_MASK
+                == 0
+            )
+            | (F.col("i") == F.col("total_chars"))
+        ).alias("is_boundary"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bounds = pos.where("is_boundary").select(
+        "doc_id",
+        "total_chars",
+        "i",
+        F.coalesce(F.lag("i").over(w), F.lit(0)).alias("prev"),
+    )
+    return bounds.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "total_chars",
+        (F.col("i") - F.col("prev")).alias("chunk_len"),
+        F.md5(F.expr("substr(text, prev + 1, i - prev)")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "llm_cdc_chunk_dedup",
+    oracle=f"""
+    WITH {CDC_CHUNKS_SQL},
     copies AS (
         SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies
         FROM chunks GROUP BY chunk_hash
@@ -181,51 +234,7 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy. At 100 TB the boundary scan runs as a mapInPandas rolling
     hash (true Rabin fingerprint) with identical boundary semantics.
     """
-    d = load(spark, sf_dir, "documents").where(F.length("text") >= CDC_W)
-    pos = d.select(
-        "doc_id",
-        F.length("text").alias("total_chars"),
-        F.explode(F.expr("sequence(8, length(text))")).alias("i"),
-        F.col("text"),
-    ).select(
-        "doc_id",
-        "total_chars",
-        "i",
-        (
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.expr(f"substr(text, i - {CDC_W - 1}, {CDC_W})")),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % CDC_MASK
-                == 0
-            )
-            | (F.col("i") == F.col("total_chars"))
-        ).alias("is_boundary"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    bounds = (
-        pos.where("is_boundary")
-        .select(
-            "doc_id",
-            "total_chars",
-            "i",
-            F.coalesce(F.lag("i").over(w), F.lit(0)).alias("prev"),
-        )
-    )
-    chunks = bounds.join(
-        d.select("doc_id", "text"), "doc_id"
-    ).select(
-        "doc_id",
-        "total_chars",
-        (F.col("i") - F.col("prev")).alias("chunk_len"),
-        F.md5(F.expr("substr(text, prev + 1, i - prev)")).alias("chunk_hash"),
-    )
+    chunks = cdc_chunks(spark, sf_dir)
     copies = chunks.groupBy("chunk_hash").agg(F.count("*").alias("n_copies"))
     dup = (F.col("n_copies") >= 2).cast("long")
     return chunks.join(copies, "chunk_hash").groupBy("doc_id").agg(

@@ -150,6 +150,10 @@ REPRESENTATIVE = [
     # extension pack 32: scale-sensitive surfaces
     "events_shapley_attribution",  # mask occupancy + coalition worths across user counts
     "llm_watermark_greenlist",  # pair parity + z2 folds across corpus sizes
+    # extension pack 33: scale-sensitive surfaces
+    "agg_price_index",          # per-part floors + period splits across volumes
+    "llm_shard_dedup_loss_audit",  # pair combinatorics across corpus sizes
+    "llm_source_style_distance",  # vocabulary cut + profile folds across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

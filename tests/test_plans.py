@@ -476,3 +476,44 @@ def test_dow_seasonality_expected_side_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_skyline_uses_only_growing_window_frames(spark):
+    # the r3 perf fix: the O(n^2) rangeBetween(1, unboundedFollowing)
+    # frame (380 s at sf0.1) must never come back - only incremental
+    # growing frames (unboundedPreceding..current) and lag remain
+    plan = QUERIES["join_skyline_pareto"].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "unboundedfollowing" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fifo_allocation_is_an_equi_join_on_part(spark):
+    # the range residual must ride the part equi-key (hash/sort-merge/
+    # broadcast-hash), never a nested-loop over the inequality
+    plan = QUERIES["join_fifo_allocation"].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_geo_knn_stays_cell_bounded(spark):
+    # adaptive grid kNN: candidates come from the (cx, cy) equi-join;
+    # no cartesian, no nested loop over raw points
+    plan = QUERIES["join_geo_grid_knn"].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_bootstrap_fanout_combines_map_side(spark):
+    # the B-way replicate fan-out must collapse with partial aggregation
+    # before the shuffle (the Poisson-bootstrap plan shape)
+    plan = formatted_plan(QUERIES["agg_bootstrap_ci_revenue"].fn(spark, SF_DIR))
+    assert "partial" in plan.lower(), plan
+    assert "Exchange" in plan, plan

@@ -154,6 +154,9 @@ REPRESENTATIVE = [
     "agg_price_index",          # per-part floors + period splits across volumes
     "llm_shard_dedup_loss_audit",  # pair combinatorics across corpus sizes
     "llm_source_style_distance",  # vocabulary cut + profile folds across corpus sizes
+    # extension pack 34: scale-sensitive surfaces
+    "events_diff_in_diff",      # cohort cells + period split across volumes
+    "events_stratified_ate",    # stratum support + weighted fold across cohort sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -279,7 +279,10 @@ def source_txn_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the log is a tiny JSON read; the data read touches only
     live segments (skipping the removed one entirely — the reader
     never lists the directory); at lake scale the same fold handles
-    millions of actions as a grouped anti-join.
+    millions of actions as a grouped anti-join. The live-path collect
+    is DRIVER-SIDE METADATA by design — every lakehouse reader plans
+    its file manifest on the driver; it is bounded by the action log,
+    never by the data.
     """
     stage = _roundtrip_dir("txnlog", sf_dir)
     if os.path.exists(stage):

@@ -157,6 +157,9 @@ REPRESENTATIVE = [
     # extension pack 34: scale-sensitive surfaces
     "events_diff_in_diff",      # cohort cells + period split across volumes
     "events_stratified_ate",    # stratum support + weighted fold across cohort sizes
+    # extension pack 35: scale-sensitive surfaces
+    "multimodal_payload_fingerprint_buckets",  # bucket occupancy across corpus sizes
+    "llm_preference_length_bias",  # pair coverage + signed folds across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -160,6 +160,8 @@ REPRESENTATIVE = [
     # extension pack 35: scale-sensitive surfaces
     "multimodal_payload_fingerprint_buckets",  # bucket occupancy across corpus sizes
     "llm_preference_length_bias",  # pair coverage + signed folds across corpus sizes
+    # extension pack 36: scale-sensitive surfaces
+    "audit_replication_checksum",  # block occupancy + residue sums across volumes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

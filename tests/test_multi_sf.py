@@ -162,6 +162,9 @@ REPRESENTATIVE = [
     "llm_preference_length_bias",  # pair coverage + signed folds across corpus sizes
     # extension pack 36: scale-sensitive surfaces
     "audit_replication_checksum",  # block occupancy + residue sums across volumes
+    # extension pack 37: scale-sensitive surfaces
+    "events_halflife_decay_score",  # week ages + shift folds across densities
+    "ml_feature_drift_chi2",    # contingency folds + headroom across cohort sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -165,6 +165,9 @@ REPRESENTATIVE = [
     # extension pack 37: scale-sensitive surfaces
     "events_halflife_decay_score",  # week ages + shift folds across densities
     "ml_feature_drift_chi2",    # contingency folds + headroom across cohort sizes
+    # extension pack 38: scale-sensitive surfaces
+    "events_peak_velocity_1h",  # range-frame density + tie picks across densities
+    "audit_monotonic_id_gaps",  # gap island shapes across volumes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

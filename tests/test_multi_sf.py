@@ -168,6 +168,11 @@ REPRESENTATIVE = [
     # extension pack 38: scale-sensitive surfaces
     "events_peak_velocity_1h",  # range-frame density + tie picks across densities
     "audit_monotonic_id_gaps",  # gap island shapes across volumes
+    # extension pack 39: scale-sensitive surfaces (link prediction stays
+    # off the slice like graph_triangle_count - wedge work is superlinear
+    # and sf0.01 already hash-checks the algorithm)
+    "llm_readability_flesch",   # milli folds + syllable counts across corpus sizes
+    "relational_group_by_all",  # inference + cents sums across volumes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -31,6 +31,7 @@ from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
 LINK_TOP_K = 50
+HUB_CAP = 64  # wedge centers above this degree are skipped (standard LP preprocessing)
 
 
 @register(
@@ -110,9 +111,13 @@ def llm_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT v, u FROM edges
     ),
     degs AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY s),
+    non_hub AS (
+        SELECT u.s, u.t FROM und u JOIN degs d ON u.t = d.s
+        WHERE d.deg <= {HUB_CAP}
+    ),
     wedges AS (
         SELECT x.s AS u, y.s AS v, CAST(count(*) AS BIGINT) AS common
-        FROM und x JOIN und y ON x.t = y.t AND x.s < y.s
+        FROM non_hub x JOIN non_hub y ON x.t = y.t AND x.s < y.s
         GROUP BY x.s, y.s
     ),
     candidates AS (
@@ -137,18 +142,24 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     least one neighbor, the Jaccard overlap of their neighborhoods —
     the classic unsupervised link predictor (Liben-Nowell & Kleinberg):
     the top-50 predicted edges are the co-purchases most likely to
-    appear next. Completes the graph family (degree/triangles/CC/
+    appear next. Wedge CENTERS above degree 64 are skipped — the
+    standard LP hub-exclusion (a ubiquitous hub certifies nothing and
+    its deg² wedge fan-out is exactly what explodes on dense graphs:
+    uncapped, this corpus' fixed part vocabulary drives wedges to
+    ~1.4e9 rows at sf0.1; capped, the bound is parts·cap² at any SF). Completes the graph family (degree/triangles/CC/
     pagerank/k-core/modularity/BFS) with the PREDICTION task.
 
-    Exactness: common-neighbor counts from one wedge groupBy; the
-    non-adjacency filter is an anti-join on the edge set; Jaccard folds
-    floor-micro; the cut is total-order deterministic.
+    Exactness: common counts ONLY non-hub shared neighbors (the cap is
+    part of the contract, identical both engines); the non-adjacency
+    filter is an anti-join on the edge set; Jaccard folds floor-micro
+    over (capped common, full degrees); the cut is total-order
+    deterministic.
 
-    Scale: the wedge join is degree-bounded exactly like
-    `graph_triangle_count`'s — the co-purchase graph derives from one
-    keyed aggregation and stays orders of magnitude smaller than the
-    facts; at web scale the same pipeline runs on degree-capped
-    adjacency (drop hubs above a cap — the standard LP preprocessing).
+    Scale: the wedge join is hub-capped (parts·cap² rows at ANY SF —
+    the degree-orientation discipline of `graph_triangle_count`
+    adapted to the prediction task); the co-purchase graph derives
+    from one keyed aggregation and stays orders of magnitude smaller
+    than the facts.
     """
     li = load(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
@@ -163,8 +174,11 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
     degs = und.groupBy("s").agg(F.count("*").alias("deg"))
-    x = und.select(F.col("s").alias("wu"), F.col("t").alias("mid"))
-    y = und.select(F.col("s").alias("wv"), F.col("t").alias("mid"))
+    non_hub = und.join(
+        degs.select(F.col("s").alias("t"), F.col("deg").alias("deg_t")), "t"
+    ).where(F.col("deg_t") <= HUB_CAP)
+    x = non_hub.select(F.col("s").alias("wu"), F.col("t").alias("mid"))
+    y = non_hub.select(F.col("s").alias("wv"), F.col("t").alias("mid"))
     wedges = (
         x.join(y, "mid")
         .where(F.col("wu") < F.col("wv"))

@@ -46,12 +46,17 @@ def test_link_prediction_properties(spark):
         for u, v in itertools.combinations(sorted(parts), 2):
             adj[u].add(v)
             adj[v].add(u)
+    from classification_problem_with_pyspark_spark.operators.extended39 import HUB_CAP
+
     keys = [(-r.jaccard_micro, r.u, r.v) for r in rows]
     assert keys == sorted(keys)
     for r in rows:
         assert r.u < r.v
         assert r.v not in adj[r.u]  # predicted links are NON-edges
-        common = len(adj[r.u] & adj[r.v])
+        # common counts only non-hub shared neighbors (the cap contract)
+        common = sum(
+            1 for n in adj[r.u] & adj[r.v] if len(adj[n]) <= HUB_CAP
+        )
         assert common == r.common > 0
         assert (r.deg_u, r.deg_v) == (len(adj[r.u]), len(adj[r.v]))
         union = r.deg_u + r.deg_v - r.common

@@ -173,6 +173,9 @@ REPRESENTATIVE = [
     # and sf0.01 already hash-checks the algorithm)
     "llm_readability_flesch",   # milli folds + syllable counts across corpus sizes
     "relational_group_by_all",  # inference + cents sums across volumes
+    # extension pack 40: scale-sensitive surfaces
+    "ml_mcnemar_test",          # paired cells across corpus sizes
+    "ml_auc_bootstrap_ci",      # weighted midranks + degenerate-replicate culls across cohort sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

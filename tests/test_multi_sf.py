@@ -176,6 +176,9 @@ REPRESENTATIVE = [
     # extension pack 40: scale-sensitive surfaces
     "ml_mcnemar_test",          # paired cells across corpus sizes
     "ml_auc_bootstrap_ci",      # weighted midranks + degenerate-replicate culls across cohort sizes
+    # extension pack 41: scale-sensitive surfaces
+    "agg_bayesian_average_rating",  # shrinkage reorderings across volumes
+    "llm_vocab_growth_curve",   # batch occupancy + first-seen across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

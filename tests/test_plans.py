@@ -517,3 +517,23 @@ def test_bootstrap_fanout_combines_map_side(spark):
     plan = formatted_plan(QUERIES["agg_bootstrap_ci_revenue"].fn(spark, SF_DIR))
     assert "partial" in plan.lower(), plan
     assert "Exchange" in plan, plan
+
+
+def test_sql_join_hints_are_honored(spark):
+    # the /*+ hint */ surface: BROADCAST forces a broadcast join and
+    # MERGE forces sort-merge on the same query text
+    from classification_problem_with_pyspark_spark.sources.catalog import register_views
+
+    register_views(spark, SF_DIR, ("customer", "nation"))
+    bc = spark.sql(
+        "SELECT /*+ BROADCAST(nation) */ c_mktsegment, n_name, count(*) AS n"
+        " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        " GROUP BY c_mktsegment, n_name"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc, bc
+    smj = spark.sql(
+        "SELECT /*+ MERGE(nation) */ c_mktsegment, n_name, count(*) AS n"
+        " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        " GROUP BY c_mktsegment, n_name"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in smj, smj

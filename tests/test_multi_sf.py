@@ -179,6 +179,9 @@ REPRESENTATIVE = [
     # extension pack 41: scale-sensitive surfaces
     "agg_bayesian_average_rating",  # shrinkage reorderings across volumes
     "llm_vocab_growth_curve",   # batch occupancy + first-seen across corpus sizes
+    # extension pack 42 (hodges_lehmann stays off the slice - its pair
+    # table is span-bounded and identical at every SF, sf0.01 suffices)
+    "join_asof_nearest",        # tie rules + null edges across densities
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -1,0 +1,197 @@
+"""Round-3 extension pack #43: tail attribution and malformed-JSONL
+recovery.
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. The patterns are public
+knowledge — tail-latency attribution (which dimension owns the global
+p99 mass; the SRE triage query) and permissive JSON ingestion with
+corrupt-record capture (Spark's PERMISSIVE/_corrupt_record contract) —
+re-expressed on the public PySpark DataFrame API over the driver's
+testdata.
+
+Hash-parity discipline (round-3 standard): the tail is defined as the
+EXACT top-k rows under the (value-cents DESC, event_id) total order
+(k = n DIV 100) — rank-based, so value ties at the cutoff can never
+make the two engines disagree about membership; the JSONL fixture
+injects corrupt lines DETERMINISTICALLY and the oracle restates the
+recoverable rows from the base table.
+
+Scale posture (SURVEY.md §7.6): the tail rank is honest about its
+global-sort cost (and documents the approx-threshold prefilter that
+removes 99% of it at real scale); the JSONL read is the one-pass
+PERMISSIVE scan every ingestion edge runs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+TAIL_PCT_DIV = 100  # top n DIV 100 rows = the "p99 tail"
+
+
+@register(
+    "agg_tail_attribution_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    sized AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    tail AS (
+        SELECT event_type, cents FROM (
+            SELECT event_type, cents,
+                   row_number() OVER (ORDER BY cents DESC, event_id) AS rn,
+                   (SELECT n FROM sized) AS n
+            FROM v
+        ) r WHERE rn <= n // {TAIL_PCT_DIV}
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_tail_events,
+               CAST(SUM(cents) AS BIGINT) AS tail_cents
+        FROM tail GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tail_events) AS BIGINT) AS k,
+               CAST(SUM(tail_cents) AS BIGINT) AS all_tail_cents
+        FROM per
+    )
+    SELECT event_type, n_tail_events, tail_cents,
+           CAST((1000000 * n_tail_events) // k AS BIGINT)
+               AS tail_share_micro,
+           CAST((1000000 * tail_cents) // all_tail_cents AS BIGINT)
+               AS tail_mass_share_micro
+    FROM per, tot ORDER BY event_type
+    """,
+)
+def agg_tail_attribution_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail attribution (SURVEY.md §2.4): which event type owns the
+    global top-1% of values — the SRE triage query ("who is in my
+    p99?") that a per-group percentile report cannot answer, because
+    the tail is defined GLOBALLY and groups compete for membership.
+    The tail is the exact top n/100 rows under the (cents DESC,
+    event_id) total order, so cutoff ties are resolved identically on
+    both engines by construction — rank-based tails are the only
+    hash-stable way to define "top 1%".
+
+    Exactness: cents are exact; membership is a total-order rank; the
+    shares fold floor-micro. The plan stays fully lazy (the row count
+    enters through a window, not a driver-side action).
+
+    Scale: stated honestly — an EXACT global top-1% needs a global
+    rank (k grows with n, so TakeOrdered stops helping at real scale);
+    at 100 TB you first cut with an approx_percentile(0.99) threshold
+    and rank only the ~1% remainder — same result, 99% less sort. The
+    lazy single-plan form here keeps the registry's no-action contract.
+    """
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    from pyspark.sql.window import Window
+
+    w_rank = Window.orderBy(F.desc("cents"), "event_id")
+    w_all = Window.partitionBy()
+    tail = (
+        v.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_all).alias("n"),
+        )
+        .where(F.expr(f"rn <= n DIV {TAIL_PCT_DIV}"))
+        .select("event_type", "cents")
+    )
+    per = tail.groupBy("event_type").agg(
+        F.count("*").alias("n_tail_events"),
+        F.sum("cents").alias("tail_cents"),
+    )
+    tot = per.agg(
+        F.sum("n_tail_events").alias("k"),
+        F.sum("tail_cents").alias("all_tail_cents"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_tail_events",
+            "tail_cents",
+            F.expr(
+                "CAST((1000000 * n_tail_events) DIV k AS BIGINT)"
+            ).alias("tail_share_micro"),
+            F.expr(
+                "CAST((1000000 * tail_cents) DIV all_tail_cents AS BIGINT)"
+            ).alias("tail_mass_share_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "source_jsonl_malformed",
+    oracle="""
+    SELECT n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS region,
+           'valid' AS status
+    FROM nation WHERE n_nationkey % 5 != 2
+    ORDER BY name
+    """,
+)
+def source_jsonl_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSONL recovery (SURVEY.md §2.1): a staged JSONL file
+    carries one DELIBERATELY truncated line for every nation whose key
+    ≡ 2 (mod 5); the PERMISSIVE reader with a _corrupt_record column
+    must recover every valid line and quarantine exactly the corrupt
+    ones — the ingestion-edge contract `source_csv_malformed` pins for
+    CSV, completed here for JSON lines. The returned relation is the
+    VALID rows (the oracle restates them from the base table); the
+    corrupt-row count is asserted in tests.
+
+    Exactness: corruption is a deterministic key rule; the valid set
+    is a pure filter of the dim.
+
+    Scale: PERMISSIVE is a one-pass scan with per-row fallback — the
+    only mode that neither aborts the job (FAILFAST) nor silently
+    drops data (DROPMALFORMED loses the quarantine evidence).
+    """
+    stage = _roundtrip_dir("jsonl_malformed", sf_dir)
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rows = sorted(
+        (r.n_nationkey, r.n_name, r.n_regionkey) for r in n.collect()
+    )
+    path = os.path.join(stage, "part-0.jsonl")
+    with open(path, "w") as f:
+        for key, name, region in rows:
+            if key % 5 == 2:
+                f.write(f'{{"name": "{name}", "region": ')  # truncated
+                f.write("\n")
+            else:
+                f.write(f'{{"name": "{name}", "region": {region}}}\n')
+    back = spark.read.schema(
+        "name string, region bigint, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(
+        path
+    )
+    return (
+        back.where(F.col("_corrupt_record").isNull())
+        .select("name", "region", F.lit("valid").alias("status"))
+        .orderBy("name")
+    )

@@ -182,6 +182,8 @@ REPRESENTATIVE = [
     # extension pack 42 (hodges_lehmann stays off the slice - its pair
     # table is span-bounded and identical at every SF, sf0.01 suffices)
     "join_asof_nearest",        # tie rules + null edges across densities
+    # extension pack 43: scale-sensitive surfaces
+    "agg_tail_attribution_topk",  # rank cutoffs + share folds across volumes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

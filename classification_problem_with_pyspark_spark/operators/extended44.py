@@ -1,0 +1,306 @@
+"""Round-3 extension pack #44: exact model-evaluation tables —
+per-class classification report and lift/gain deciles.
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. Both patterns are public
+knowledge — the sklearn-style `classification_report` (per-class
+precision/recall/F1 + macro/micro summary) and the campaign-targeting
+lift/cumulative-gains table — re-expressed on the public PySpark
+DataFrame API over the driver's testdata. They complete the evaluation
+family next to `ml_auc_exact` / `ml_roc_curve_threshold` /
+`ml_calibration_by_score`: those grade rankers, these grade a hard
+classifier and a targeting policy.
+
+Hash-parity discipline (round-3 standard): the "model" under
+evaluation is a DETERMINISTIC stand-in (portable md5 rule over the row
+key — a synthetic predictor whose exact confusion behavior both
+engines re-derive bit-identically; the metric pipeline, not the
+predictor, is the product). Every ratio folds the floor-micro integer
+discipline (1e6-scaled BIGINT division, zero floats end to end).
+
+Scale posture (SURVEY.md §7.6): a classification report is two
+map-side-combinable counts (per true class, per predicted class) plus
+a diagonal count — three skinny aggregations over any number of rows,
+then a 10-row join; the lift table is one ntile window over a
+presorted score (at 100 TB the deciles come from approx-percentile
+cutpoints instead of a global ntile sort — same table, no total
+order; documented in the docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+N_CLASSES = 10  # embeddings.label domain is 0..9 (FIXTURES.md)
+FLIP_MOD = 4  # the stand-in predictor mislabels every 4th row by hash
+LIFT_K = 10  # deciles
+LIFT_BOOST = 400_000  # score boost for the positive class (stand-in model)
+
+
+def _pred_hash_sql(prefix: str) -> str:
+    """Portable md5→BIGINT idiom (same as llm_split_hash), SQL form."""
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}' || CAST(vec_id AS VARCHAR)), 1, 15)) "
+        "AS BIGINT)"
+    )
+
+
+def _pred_hash_spark(prefix: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix), F.col("vec_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+@register(
+    "ml_classification_report_exact",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(label AS BIGINT) AS y,
+               CASE WHEN {_pred_hash_sql('clf_')} % {FLIP_MOD} = 0
+                    THEN (CAST(label AS BIGINT) + 1) % {N_CLASSES}
+                    ELSE CAST(label AS BIGINT) END AS yhat
+        FROM embeddings
+    ),
+    truth AS (
+        SELECT y AS class, CAST(COUNT(*) AS BIGINT) AS support
+        FROM scored GROUP BY y
+    ),
+    predicted AS (
+        SELECT yhat AS class, CAST(COUNT(*) AS BIGINT) AS n_predicted
+        FROM scored GROUP BY yhat
+    ),
+    diagonal AS (
+        SELECT y AS class, CAST(COUNT(*) AS BIGINT) AS tp
+        FROM scored WHERE y = yhat GROUP BY y
+    ),
+    per_class AS (
+        SELECT t.class,
+               t.support,
+               COALESCE(p.n_predicted, 0) AS n_predicted,
+               COALESCE(d.tp, 0) AS tp,
+               CAST((1000000 * COALESCE(d.tp, 0))
+                    // greatest(1, COALESCE(p.n_predicted, 0)) AS BIGINT)
+                   AS precision_micro,
+               CAST((1000000 * COALESCE(d.tp, 0))
+                    // greatest(1, t.support) AS BIGINT) AS recall_micro
+        FROM truth t
+        LEFT JOIN predicted p ON p.class = t.class
+        LEFT JOIN diagonal d ON d.class = t.class
+    ),
+    with_f1 AS (
+        SELECT *,
+               CAST((2 * precision_micro * recall_micro)
+                    // greatest(1, precision_micro + recall_micro) AS BIGINT)
+                   AS f1_micro
+        FROM per_class
+    )
+    SELECT class, support, n_predicted, tp,
+           precision_micro, recall_micro, f1_micro,
+           CAST(SUM(f1_micro) OVER () // COUNT(*) OVER () AS BIGINT)
+               AS macro_f1_micro,
+           CAST((1000000 * SUM(tp) OVER ()) // SUM(support) OVER () AS BIGINT)
+               AS accuracy_micro
+    FROM with_f1
+    ORDER BY class
+    """,
+)
+def ml_classification_report_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-class classification report (SURVEY.md §2.6): the
+    sklearn-`classification_report` table — per-class support /
+    predicted-count / TP / precision / recall / F1, plus macro-F1 and
+    global accuracy — for a hard multiclass classifier. Completes the
+    evaluation family: `ml_auc_exact` grades a ranking, this grades
+    the argmax decisions a deployment actually makes.
+
+    The classifier is a deterministic stand-in (md5(vec_id) flips
+    every FLIP_MOD-th row to the next class, so the confusion structure
+    is a pure function of the row key that both engines re-derive);
+    the product is the metric pipeline. All ratios fold floor-micro
+    integer division; macro-F1 averages the already-floored per-class
+    F1s, so no float ever enters the plan.
+
+    Scale: three skinny map-side-combinable aggregations (by true
+    class, by predicted class, by diagonal) over N rows, then a
+    |classes|-row three-way join and a window over |classes| rows —
+    the shuffle is O(|classes|), not O(N). This is the shape that
+    survives 100 TB: no global sort, no wide row ever moves.
+    """
+    y = F.col("label").cast("long")
+    yhat = (
+        F.when(_pred_hash_spark("clf_") % FLIP_MOD == 0, (y + 1) % N_CLASSES)
+        .otherwise(y)
+    )
+    scored = load(spark, sf_dir, "embeddings").select(
+        y.alias("y"), yhat.alias("yhat")
+    )
+    truth = scored.groupBy(F.col("y").alias("class")).agg(
+        F.count("*").alias("support")
+    )
+    predicted = scored.groupBy(F.col("yhat").alias("class")).agg(
+        F.count("*").alias("n_predicted")
+    )
+    diagonal = (
+        scored.where(F.col("y") == F.col("yhat"))
+        .groupBy(F.col("y").alias("class"))
+        .agg(F.count("*").alias("tp"))
+    )
+    per_class = (
+        truth.join(predicted, "class", "left")
+        .join(diagonal, "class", "left")
+        .select(
+            "class",
+            "support",
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST((1000000 * tp) DIV greatest(1, n_predicted) AS BIGINT)"
+            ).alias("precision_micro"),
+            F.expr(
+                "CAST((1000000 * tp) DIV greatest(1, support) AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST((2 * precision_micro * recall_micro) "
+                "DIV greatest(1, precision_micro + recall_micro) AS BIGINT)"
+            ).alias("f1_micro"),
+        )
+    )
+    return (
+        per_class.select(
+            "class",
+            "support",
+            "n_predicted",
+            "tp",
+            "precision_micro",
+            "recall_micro",
+            "f1_micro",
+            F.expr(
+                "CAST(SUM(f1_micro) OVER () DIV COUNT(*) OVER () AS BIGINT)"
+            ).alias("macro_f1_micro"),
+            F.expr(
+                "CAST((1000000 * SUM(tp) OVER ()) DIV SUM(support) OVER () "
+                "AS BIGINT)"
+            ).alias("accuracy_micro"),
+        )
+        .orderBy("class")
+    )
+
+
+@register(
+    "ml_lift_gain_deciles",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS is_pos,
+               {_pred_hash_sql('lift_')} % 1000000
+                   + CASE WHEN label = 0 THEN {LIFT_BOOST} ELSE 0 END
+                   AS score_micro
+        FROM embeddings
+    ),
+    deciled AS (
+        SELECT is_pos, score_micro,
+               NTILE({LIFT_K}) OVER (ORDER BY score_micro DESC, vec_id)
+                   AS decile
+        FROM scored
+    ),
+    per AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+               CAST(MIN(score_micro) AS BIGINT) AS min_score_micro
+        FROM deciled GROUP BY decile
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS n,
+               CAST(SUM(n_pos) AS BIGINT) AS p
+        FROM per
+    )
+    SELECT decile, n_rows, n_pos, min_score_micro,
+           CAST((1000000 * SUM(n_pos) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                // p AS BIGINT) AS cum_gain_micro,
+           CAST((1000000 * n_pos * n) // (n_rows * p) AS BIGINT)
+               AS lift_micro
+    FROM per, tot
+    ORDER BY decile
+    """,
+)
+def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift / cumulative-gains deciles (SURVEY.md §2.6): the targeting
+    table behind every campaign-sizing decision — rank rows by model
+    score, cut into deciles, and report each decile's positive count,
+    cumulative share of all positives captured (gain), and lift over
+    the base rate. The decision artifact a ranking AUC cannot give you:
+    "mailing the top 2 deciles captures X% of responders at Y× lift".
+
+    The score is a deterministic stand-in (md5 fraction plus a fixed
+    boost for the positive class, so the gains curve is genuinely
+    non-flat and both engines re-derive it bit-identically). Deciles
+    use the (score DESC, vec_id) total order so cut ties can never
+    differ; gain and lift fold floor-micro integer division.
+
+    Scale: ntile over a global order is the sf-local form; at 100 TB
+    the decile boundaries come from `approx_percentile` cutpoints (one
+    pass, no total sort) and rows map to deciles scan-side — same
+    table, shuffle O(deciles). The cumulative window runs over 10
+    rows either way.
+    """
+    hash_score = _pred_hash_spark("lift_") % 1_000_000
+    scored = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("is_pos"),
+        (
+            hash_score
+            + F.when(F.col("label") == 0, LIFT_BOOST).otherwise(0)
+        ).alias("score_micro"),
+    )
+    deciled = scored.select(
+        "is_pos",
+        "score_micro",
+        F.ntile(LIFT_K)
+        .over(Window.orderBy(F.desc("score_micro"), "vec_id"))
+        .alias("decile"),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("is_pos").cast("long").alias("n_pos"),
+        F.min("score_micro").cast("long").alias("min_score_micro"),
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("n"), F.sum("n_pos").alias("p")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            "min_score_micro",
+            F.expr(
+                "CAST((1000000 * SUM(n_pos) OVER (ORDER BY decile "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+                "DIV p AS BIGINT)"
+            ).alias("cum_gain_micro"),
+            F.expr(
+                "CAST((1000000 * n_pos * n) DIV (n_rows * p) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy("decile")
+    )

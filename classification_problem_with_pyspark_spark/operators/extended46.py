@@ -1,0 +1,273 @@
+"""Round-3 extension pack #46: sampled harmonic centrality and
+mutual-kNN pairs.
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. Both patterns are public
+knowledge — harmonic centrality over seed samples (the Boldi–Vigna
+"Axioms for centrality" formulation; HyperBall computes exactly this
+shape at web scale) and the mutual-kNN graph (the symmetrization step
+under spectral clustering, UMAP's fuzzy graph, and semantic-dedup
+cluster seeds) — re-expressed on the public PySpark DataFrame API over
+the driver's testdata.
+
+Hash-parity discipline (round-3 standard): centrality seeds are a
+portable md5 rule over the part key (no sampling state); hop sets are
+DISTINCT frontier relations with explicit visited-set subtraction, so
+membership is set algebra both engines replay identically; harmonic
+weights fold integer micro-units (1/1, 1/2, 1/3 → 1000000 / 500000 /
+333333). Mutual-kNN reuses the exact cosine discipline the driver
+already hash-verified on llm_similarity_topk (double accumulation,
+ROUND(·,6), (sim DESC, id) rank tie-break).
+
+Scale posture (SURVEY.md §7.6): seed-sampled BFS is THE scale form of
+centrality (exact all-pairs is O(V·E) and dead at 100 TB; HyperBall
+replaces the frontier sets with HLL sketches — same plan shape, the
+registry's `agg_hll_sketch_mergeable` shows the sketch side); the
+mutual filter is a self-join of the top-k relation on the reversed
+pair — O(V·k), never O(V²), once the directed top-k exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.functions.vector import dot, norm
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+SEED_MOD = 400  # ~|parts|/400 hash-chosen centrality seeds (5 at sf0.01)
+KNN_K = 5  # directed neighbor list size for the mutual graph
+
+_EDGES_SQL = """
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )
+"""
+
+
+@register(
+    "graph_harmonic_centrality_sampled",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    seeds AS (
+        SELECT DISTINCT src AS seed FROM edges
+        WHERE CAST(('0x' || substr(md5('hc_' || CAST(src AS VARCHAR)), 1, 15))
+                   AS BIGINT) % {SEED_MOD} = 0
+    ),
+    h1 AS (
+        SELECT DISTINCT s.seed, e.dst AS node
+        FROM seeds s JOIN edges e ON e.src = s.seed
+        WHERE e.dst <> s.seed
+    ),
+    h2 AS (
+        SELECT DISTINCT h.seed, e.dst AS node
+        FROM h1 h JOIN edges e ON e.src = h.node
+        WHERE e.dst <> h.seed
+          AND NOT EXISTS (SELECT 1 FROM h1 x
+                          WHERE x.seed = h.seed AND x.node = e.dst)
+    ),
+    h3 AS (
+        SELECT DISTINCT h.seed, e.dst AS node
+        FROM h2 h JOIN edges e ON e.src = h.node
+        WHERE e.dst <> h.seed
+          AND NOT EXISTS (SELECT 1 FROM h1 x
+                          WHERE x.seed = h.seed AND x.node = e.dst)
+          AND NOT EXISTS (SELECT 1 FROM h2 x
+                          WHERE x.seed = h.seed AND x.node = e.dst)
+    )
+    SELECT s.seed,
+           CAST(COALESCE(c1.n, 0) AS BIGINT) AS n_hop1,
+           CAST(COALESCE(c2.n, 0) AS BIGINT) AS n_hop2,
+           CAST(COALESCE(c3.n, 0) AS BIGINT) AS n_hop3,
+           CAST(1000000 * COALESCE(c1.n, 0)
+                + 500000 * COALESCE(c2.n, 0)
+                + 333333 * COALESCE(c3.n, 0) AS BIGINT) AS harmonic_micro
+    FROM seeds s
+    LEFT JOIN (SELECT seed, COUNT(*) AS n FROM h1 GROUP BY seed) c1
+           ON c1.seed = s.seed
+    LEFT JOIN (SELECT seed, COUNT(*) AS n FROM h2 GROUP BY seed) c2
+           ON c2.seed = s.seed
+    LEFT JOIN (SELECT seed, COUNT(*) AS n FROM h3 GROUP BY seed) c3
+           ON c3.seed = s.seed
+    ORDER BY s.seed
+    """,
+)
+def graph_harmonic_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-sampled harmonic centrality, radius 3 (SURVEY.md §2.10):
+    for an md5-chosen sample of parts in the co-purchase graph, count
+    the nodes first reached at hops 1/2/3 and fold them with harmonic
+    weights 1, 1/2, 1/3 (micro-units) — the bounded-radius harmonic
+    centrality that ranks "how much of the graph is close to this
+    node". Completes the graph family: degree (radius 1), BFS levels
+    from ONE source (`graph_bfs_3hop`), and now a multi-source
+    distance-weighted summary.
+
+    Seed sampling IS the scale algorithm (exact all-pairs centrality
+    is O(V·E)); HyperBall runs this exact plan with HLL frontier
+    sketches when even per-seed sets blow up. Frontier levels are
+    DISTINCT relations with explicit visited subtraction, so both
+    engines agree on membership by set algebra, not traversal order.
+
+    Scale: one fact-sized edge build (self-join on orderkey, deduped,
+    checkpointed so the three hops reuse it), then per-hop
+    frontier-edge joins keyed on (seed, node) — cost bounded by
+    |seeds| × |3-hop ball|, the knob the SEED_MOD constant controls.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # edge build runs once, not per hop
+    )
+    seed_hash = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hc_"), F.col("src").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    # The seed rule is a pure hash predicate on the edge source, so hop 1
+    # comes straight off the edge scan — no separate seed materialization
+    # (every seed has >= 1 neighbor by construction: seeds are edge srcs).
+    h1 = (
+        edges.where(seed_hash % SEED_MOD == 0)
+        .select(F.col("src").alias("seed"), F.col("dst").alias("node"))
+        .distinct()
+        # frontiers are small ((seed, node) pairs); checkpointing each
+        # level keeps hop k+1 from re-running every earlier hop's joins
+        .localCheckpoint(eager=True)
+    )
+    hops = [h1]
+    visited = h1
+    for step in range(2):
+        prev = hops[-1]
+        nxt = (
+            prev.join(edges, prev.node == edges.src)
+            .where(F.col("dst") != F.col("seed"))
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+        )
+        if step == 0:  # the last hop is consumed once — no reuse to save
+            nxt = nxt.localCheckpoint(eager=True)
+        hops.append(nxt)
+        # hop sets are pairwise disjoint by the anti-join — plain union
+        visited = visited.unionByName(nxt)
+    tagged = None
+    for i, h in enumerate(hops):
+        t = h.select("seed", F.lit(i + 1).alias("hop"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return (
+        tagged.groupBy("seed")
+        .agg(
+            *[
+                F.sum(F.when(F.col("hop") == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_hop{i}")
+                for i in (1, 2, 3)
+            ]
+        )
+        .select(
+            "seed",
+            "n_hop1",
+            "n_hop2",
+            "n_hop3",
+            (
+                1_000_000 * F.col("n_hop1")
+                + 500_000 * F.col("n_hop2")
+                + 333_333 * F.col("n_hop3")
+            )
+            .cast("long")
+            .alias("harmonic_micro"),
+        )
+        .orderBy("seed")
+    )
+
+
+@register(
+    "emb_mutual_knn_pairs",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)
+                   AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    topk AS (
+        SELECT qid, nid, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine_sim DESC, nid) AS rnk
+        FROM pairs
+        QUALIFY rnk <= {KNN_K}
+    )
+    SELECT f.qid AS src, f.nid AS dst, f.cosine_sim,
+           CAST(f.rnk AS BIGINT) AS rank_fwd,
+           CAST(r.rnk AS BIGINT) AS rank_rev
+    FROM topk f JOIN topk r ON r.qid = f.nid AND r.nid = f.qid
+    WHERE f.qid < f.nid
+    ORDER BY src, dst
+    """,
+)
+def emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN pairs (SURVEY.md §2.12): undirected edges (i, j)
+    where each vector is in the OTHER's cosine top-k — the
+    symmetrization that turns a directed kNN list into the mutual
+    graph spectral clustering, UMAP, and semantic-dedup clustering
+    build on. Hub vectors (in everyone's top-k, reciprocating few)
+    fall out exactly; that asymmetry filter is the point of "mutual".
+
+    Exact-cosine discipline hash-verified on llm_similarity_topk:
+    double accumulation, ROUND(·,6), (sim DESC, nid) rank tie-break —
+    membership on both engines is identical by construction.
+
+    Scale: the directed top-k is the expensive stage (here the exact
+    broadcast nested-loop; at 100 TB the ANN keys — IVF / LSH /
+    sharded — produce the same (qid, nid, rank) relation); the mutual
+    step is ONE self-join of that O(V·k) relation on the reversed
+    pair, never a second pass over V² — the part this key pins.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = (
+        e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_a"))
+        .withColumn("norm_a", norm(F.col("emb_a")))
+        .repartition(64)
+    )
+    b = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("emb_b")
+    ).withColumn("norm_b", norm(F.col("emb_b")))
+    sim = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    topk = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("cosine_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_K)
+    )
+    fwd = topk.select(
+        F.col("qid").alias("src"),
+        F.col("nid").alias("dst"),
+        "cosine_sim",
+        F.col("rnk").cast("long").alias("rank_fwd"),
+    )
+    rev = topk.select(
+        F.col("nid").alias("src"),
+        F.col("qid").alias("dst"),
+        F.col("rnk").cast("long").alias("rank_rev"),
+    )
+    return (
+        fwd.join(rev, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "cosine_sim", "rank_fwd", "rank_rev")
+        .orderBy("src", "dst")
+    )

@@ -128,6 +128,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended57  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended58  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended59  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended60  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

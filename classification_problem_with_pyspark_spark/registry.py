@@ -132,6 +132,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended61  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended62  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended63  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended64  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

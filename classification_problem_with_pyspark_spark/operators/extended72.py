@@ -140,16 +140,16 @@ def agg_odds_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            ROUND(nsxy / nsxx, 6) AS slope,
-           ROUND(sqrt((nsyy - nsxy * nsxy / nsxx) / (n - 2) / nsxx * n), 6)
+           ROUND(sqrt((nsyy - nsxy * nsxy / nsxx) / (n - 2) / nsxx), 6)
                AS slope_se,
            ROUND((nsxy / nsxx)
-                 / sqrt((nsyy - nsxy * nsxy / nsxx) / (n - 2) / nsxx * n), 6)
+                 / sqrt((nsyy - nsxy * nsxy / nsxx) / (n - 2) / nsxx), 6)
                AS t_stat,
            ROUND(nsxy / nsxx - {Z95}
-                 * sqrt((nsyy - nsxy * nsxy / nsxx) / (n - 2) / nsxx * n), 6)
+                 * sqrt((nsyy - nsxy * nsxy / nsxx) / (n - 2) / nsxx), 6)
                AS ci_lo,
            ROUND(nsxy / nsxx + {Z95}
-                 * sqrt((nsyy - nsxy * nsxy / nsxx) / (n - 2) / nsxx * n), 6)
+                 * sqrt((nsyy - nsxy * nsxy / nsxx) / (n - 2) / nsxx), 6)
                AS ci_hi
     FROM terms
     ORDER BY l_returnflag
@@ -161,10 +161,11 @@ def ml_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference layer that turns `agg_ols_closed_form`'s point estimate
     into a decision (same cohort, same exact DECIMAL moments,
     deliberately: an estimate and its uncertainty must never be
-    computed from different scans). SE(β̂) = √(SSE/(n−2)/Sxx) folded
-    into the n-scaled moment terms so no per-row residual pass is
-    needed — the closed-form identity SSE = (nSyy' − (nSxy')²/nSxx')/n
-    does the work.
+    computed from different scans). SE(β̂)² = MSE/Sxx folds into the
+    n-scaled moment terms as (nSyy − (nSxy)²/nSxx)/(n−2)/nSxx — the
+    n factors cancel between SSE/n and Sxx/n, so no per-row residual
+    pass is needed (the first draft kept a stray ·n and inflated SE
+    by √n; the replay test caught it).
 
     Exactness: DECIMAL moment sums engine-side; the closing
     expressions are identical ROUND-6 doubles; the z critical value
@@ -211,7 +212,6 @@ def ml_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nsyy") - F.col("nsxy") * F.col("nsxy") / F.col("nsxx"))
         / (F.col("n") - 2)
         / F.col("nsxx")
-        * F.col("n")
     )
     slope = F.col("nsxy") / F.col("nsxx")
     return terms.select(

@@ -66,7 +66,7 @@ def test_ols_inference_matches_python_closed_form(spark):
         nsxy = n * sxy - sx * sy
         nsyy = n * syy - sy * sy
         slope = nsxy / nsxx
-        se = math.sqrt((nsyy - nsxy * nsxy / nsxx) / (n - 2) / nsxx * n)
+        se = math.sqrt((nsyy - nsxy * nsxy / nsxx) / (n - 2) / nsxx)
         r = rows[flag]
         assert r.n == n
         assert abs(r.slope - slope) < 1e-4
@@ -74,6 +74,7 @@ def test_ols_inference_matches_python_closed_form(spark):
         assert abs(r.t_stat - slope / se) < 1e-2
         assert abs(r.ci_lo - (slope - Z95 * se)) < 1e-3
         assert abs(r.ci_hi - (slope + Z95 * se)) < 1e-3
-        # CI brackets the estimate; price rises with quantity → t is large
+        # CI brackets the estimate, and the significance verdict is
+        # consistent: |t| > z95 exactly when the CI excludes zero
         assert r.ci_lo < r.slope < r.ci_hi
-        assert r.t_stat > 10
+        assert (abs(r.t_stat) > Z95) == (r.ci_lo > 0 or r.ci_hi < 0)

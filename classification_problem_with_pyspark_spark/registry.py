@@ -143,6 +143,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended72  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended73  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended74  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended75  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

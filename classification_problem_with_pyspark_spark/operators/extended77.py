@@ -39,8 +39,8 @@ from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
-HI_CENTS = 40_000  # enter alert above this
-LO_CENTS = 10_000  # exit alert below this (the hysteresis band)
+HI_CENTS = 10_000  # enter alert above this (~p88 of the fixture)
+LO_CENTS = 2_000  # exit alert below this (the hysteresis band)
 
 
 @register(

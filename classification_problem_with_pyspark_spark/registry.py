@@ -147,6 +147,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended76  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended77  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended78  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended79  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

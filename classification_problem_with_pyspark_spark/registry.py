@@ -180,70 +180,65 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 
-# Round-3 driver-window rotation (VERDICT r2 "Next round #3"): the driver
-# grades only the FIRST 50 registry keys per round and never revisits, so
-# cumulative coverage is the only path to evidence for all 263 keys. This
-# round fronts the 50 keys with maximum evidence value: the 5 r2 hash-fails
-# (HUGEINT oracles, now cast), the 9 r1 reds fixed in r2 but never re-graded,
-# the 20 latent-HUGEINT + 1 latent-DECIMAL keys fixed this round, and 15
-# never-graded keys from the graph/source/sink/merge/multimodal/udf families.
-# Keys NOT listed keep registration (import) order after these.
+# Round-4 driver-window rotation (VERDICT r2 "Next round #3" standing plan):
+# the driver grades only the FIRST 50 registry keys per round and never
+# revisits, so cumulative coverage is the only path to driver-side evidence
+# for all 524 keys. Rounds 1-3 covered 136 distinct keys (all green in r3).
+# This round fronts the next 50 never-graded keys WITH oracles, in original
+# registration order — a diverse slice across subquery/join/events/scalar/
+# udf-arrow/agg/window/llm families. Keys NOT listed keep registration
+# (import) order after these.
 FRONT_KEYS: tuple[str, ...] = (
-    # r2 driver hash-fails, root-caused to HUGEINT oracle typing, now fixed
-    "llm_dedup_simhash",
-    "llm_dataset_card",
-    "llm_prompt_render",
-    "stream_session_30m",
-    "events_growth_accounting",
-    # r1 reds (events-loader ERR / math hash) fixed in r2, never re-graded
-    "dedup_exact",
-    "scalar_math_suite",
-    "join_range_events",
-    "join_asof_events",
-    "join_asof_pandas",
-    "window_lag_lead_events",
-    "window_sliding_value",
-    "agg_approx_distinct",
-    "agg_hll_sketch_mergeable",
-    # latent HUGEINT oracles fixed this round, never driver-graded
-    "agg_late_linestatus_priority",
-    "agg_entropy_daily_mix",
-    "agg_sample_estimate",
-    "audit_key_skew",
-    "events_anomaly_mad",
-    "events_peak_concurrency",
-    "join_asof_tolerance",
-    "llm_curriculum_stages",
-    "llm_decontaminate",
-    "llm_doc_packing",
-    "llm_mixture_resample",
-    "llm_repetition_ratio",
-    "llm_split_hash",
-    "llm_token_count_bpe",
-    "scalar_collation_suite",
-    "scalar_explode_outer",
-    "scalar_variant_suite",
-    "source_jsonl_roundtrip",
-    "source_text_lines",
-    "window_running_distinct",
-    # latent DECIMAL oracle fixed this round
-    "agg_value_histogram",
-    # never-graded family representatives
-    "graph_degree_distribution",
-    "graph_pagerank_nation_flow",
-    "graph_triangle_count",
-    "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "source_binaryfile_media",
-    "sink_partitioned_roundtrip",
-    "sink_compaction_roundtrip",
-    "merge_incremental_agg",
-    "merge_upsert",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "udaf_grouped_pandas",
-    "udf_scalar_pandas",
-    "udtf_group_normalize",
+    "subquery_exists_late_priority",
+    "join_market_share",
+    "join_product_profit",
+    "topk_returned_revenue",
+    "subquery_max_supplier_revenue",
+    "agg_supplier_variety",
+    "subquery_small_qty_revenue",
+    "subquery_excess_shipped_suppliers",
+    "subquery_sole_late_supplier",
+    "events_transition_matrix",
+    "events_inter_arrival",
+    "audit_referential_integrity",
+    "window_activity_streaks",
+    "scalar_array_suite",
+    "scalar_json_suite",
+    "scalar_map_suite",
+    "scalar_hash_bitwise_suite",
+    "scalar_datetime_suite2",
+    "scalar_regex_extract_suite",
+    "scalar_inet_suite",
+    "udf_row_legacy",
+    "udtf_python_lateral",
+    "udaf_grouped_arrow",
+    "udf_map_in_arrow",
+    "agg_corr_covar",
+    "agg_min_max_by",
+    "agg_bool_filtered",
+    "sort_limit_offset",
+    "setop_intersect_all",
+    "join_full_outer",
+    "window_ratio_to_report",
+    "scalar_trig_suite",
+    "scalar_array_setops_suite",
+    "agg_grouping_id",
+    "scalar_conditional_suite",
+    "events_hourly_heatmap",
+    "window_pct_change",
+    "join_salted_skew",
+    "events_anomaly_zscore",
+    "llm_dedup_cluster_cc",
+    "scalar_string_suite2",
+    "filter_scan_agg_revenue",
+    "agg_count_distribution",
+    "join_promo_share",
+    "subquery_in_agg_having",
+    "agg_having_global_share",
+    "filter_disjunctive_join",
+    "subquery_scalar_anti_combo",
+    "window_centered_moving_avg",
+    "window_locf_fill",
 )
 
 

@@ -77,13 +77,12 @@ def parse_kafka_events(kafka_df: DataFrame) -> DataFrame:
         F.col("topic"),
         F.col("partition").alias("kafka_partition"),
         F.col("offset").alias("kafka_offset"),
-        F.from_json(
-            F.col("value").cast("string"),
-            EVENT_VALUE_SCHEMA,
-            # µs-precision wire timestamps: Spark's JSON default is
-            # millisecond SSS and silently truncates the event time
-            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"},
-        ).alias("ev"),
+        # No explicit timestampFormat: Spark's default JSON timestamp path
+        # is the lenient stringToTimestamp parser, which accepts any ISO-8601
+        # fractional precision up to µs as well as 'Z'/offset suffixes. A
+        # pinned pattern would silently null every ts whose wire encoding
+        # deviates from it (e.g. '.123', no fraction, or offset-suffixed).
+        F.from_json(F.col("value").cast("string"), EVENT_VALUE_SCHEMA).alias("ev"),
     )
     return parsed.select(
         "topic",
@@ -96,3 +95,17 @@ def parse_kafka_events(kafka_df: DataFrame) -> DataFrame:
         F.col("ev.value").alias("value"),
         F.col("ev.props").alias("props"),
     )
+
+
+def split_dead_letter(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split parsed Kafka rows into (good, dead_letter).
+
+    PERMISSIVE from_json keeps a row whose value failed to decode — every
+    struct field, including ``ts``, comes back NULL. Left unsplit those
+    rows flow into watermarks/stateful ops with a null event time and
+    silently corrupt results. The dead-letter side keeps the Kafka
+    position columns so the offending records can be replayed or counted
+    (e.g. ``dead.groupBy("topic").count()`` as a stream metric sink).
+    """
+    is_dead = F.col("ts").isNull() | F.col("event_id").isNull()
+    return parsed.filter(~is_dead), parsed.filter(is_dead)

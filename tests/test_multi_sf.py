@@ -184,6 +184,80 @@ REPRESENTATIVE = [
     "join_asof_nearest",        # tie rules + null edges across densities
     # extension pack 43: scale-sensitive surfaces
     "agg_tail_attribution_topk",  # rank cutoffs + share folds across volumes
+    # packs 44-108 (ADVICE r3: the slice previously stopped at pack 43,
+    # leaving ~130 newer keys without sf0.001/sf0.1 coverage). One
+    # scale-sensitive key per pack, favouring int64 fold headroom, order-
+    # statistic/tie determinism, and occupancy-dependent shapes. Skipped
+    # pack keys are scale-invariant fixture parsers (source_csv_* encoding
+    # variants, source_trailer/cursor/degenerate) or roundtrips already
+    # represented above (pack 50).
+    "ml_lift_gain_deciles",        # decile boundaries across cohort sizes
+    "join_bitemporal_asof",        # two-axis µs as-of ties across volumes
+    "emb_mutual_knn_pairs",        # distance ties + mutuality across N
+    "emb_pq_codebook_assign",      # subspace argmin ties across N
+    "agg_moments_merge_audit",     # partition-merge moment folds headroom
+    "llm_source_overlap_matrix",   # shingle overlap cells across corpus sizes
+    "ml_target_encoding_loo",      # LOO folds + smoothing across volumes
+    "agg_ratio_delta_method",      # variance folds + ratio CI across volumes
+    "window_pattern_match_vshape", # lag patterns across series densities
+    "agg_chain_ladder_development",# triangle occupancy across volumes
+    "events_attribution_ushape_exact",  # touch positions + 40/20/40 splits
+    "emb_farthest_first_seeds",    # iterative argmax ties across N
+    "ml_threshold_youden",         # threshold grid + J ties across cohorts
+    "subquery_relational_division",# division candidates across volumes
+    "agg_abc_xyz_classification",  # cumulative-share cuts + CV across volumes
+    "events_srm_check",            # cohort counts + chi2 folds across users
+    "llm_eval_pass_at_k",          # combinatorial pass rates across corpus sizes
+    "relational_distinct_on",      # DISTINCT ON tie rules across volumes
+    "events_hellinger_drift",      # bucket occupancy + sqrt folds across densities
+    "ml_cost_sensitive_threshold", # cost grid + argmin ties across cohorts
+    "agg_var_cvar_exact",          # tail order statistics across volumes
+    "events_missing_heartbeat_grid",  # grid join density across users
+    "audit_three_way_match",       # tolerance bands + cents headroom across volumes
+    "join_business_day_settlement",# calendar-roll joins across volumes
+    "emb_ivf_cell_balance",        # cell occupancy skew across N
+    "window_range_interval_frame", # RANGE frames across event densities
+    "ml_mcc_exact",                # confusion products int64 headroom across cohorts
+    "agg_effect_size_cohens_d",    # pooled-sd folds across cohort sizes
+    "llm_index_of_coincidence",    # char-pair combinatorics across corpus sizes
+    "ml_ols_inference",            # XtX folds + se across volumes
+    "window_decile_migration_matrix",  # decile cuts both periods across volumes
+    "events_burstiness_goh_barabasi",  # inter-arrival moments across densities
+    "graph_degree_assortativity",  # edge-end moment folds across volumes
+    "ml_ks_separation_exact",      # CDF gap ties across cohort sizes
+    "events_hysteresis_alerting",  # state-machine runs across densities
+    "subquery_not_in_null_trap",   # NULL-semantics candidates across volumes
+    "events_mtbf_mttr",            # failure-run µs arithmetic across densities
+    "events_cuped_variance_reduction",  # covariate folds across user counts
+    "window_on_balance_volume",    # signed cumsum across series lengths
+    "agg_simpson_paradox_audit",   # stratum reversal cells across volumes
+    "events_slo_error_budget",     # burn-rate windows across densities
+    "llm_self_consistency_vote",   # vote pluralities + ties across corpus sizes
+    "ml_bradley_terry_strengths",  # pair-win matrices + iteration across volumes
+    "llm_collocation_lift",        # bigram margins across corpus sizes
+    "graph_degree_ccdf_log2",      # log2 bucket occupancy across volumes
+    "ml_topk_accuracy_exact",      # rank cuts + ties across cohort sizes
+    "agg_proportional_allocation", # largest-remainder seats across volumes
+    "join_tolerance_reconciliation",  # band matches + cents headroom across volumes
+    "agg_second_price_auction",    # order statistics per group across volumes
+    "window_mtd_pacing",           # month-to-date cumsum across densities
+    "events_littles_law_audit",    # L=λW folds across densities
+    "llm_judge_position_bias",     # position swaps across corpus sizes
+    "events_ljung_box_q",          # autocorr lag folds across series lengths
+    "events_periodicity_comb",     # comb bucket occupancy across densities
+    "window_record_recovery_days", # running-max recovery spans across densities
+    "llm_token_offsets_audit",     # offset reconstruction across corpus sizes
+    "events_group_sequential_looks",  # interim looks + z folds across users
+    "agg_fisher_ideal_index",      # paired-period folds across volumes
+    "agg_borda_count_ranking",     # rank-sum ties across volumes
+    "agg_meta_analysis_fixed_effect",  # inverse-variance folds across cohorts
+    "agg_two_way_anova",           # cell occupancy + SS folds across volumes
+    "agg_mean_excess_pot",         # threshold exceedances across volumes
+    "ml_kendall_tau_rank_stability",  # concordant-pair combinatorics across volumes
+    "agg_price_volume_mix_bridge", # paired-period decomposition across volumes
+    "events_circular_hour_stats",  # unit-vector folds across densities
+    "agg_hoover_index",            # two-step fold int64 headroom across volumes
+    "emb_norm_quarantine",         # unit-norm pinning across N
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

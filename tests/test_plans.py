@@ -49,8 +49,30 @@ def test_semi_and_anti_join_shapes(spark):
 def test_aggregation_is_partial_before_exchange(spark):
     plan = formatted_plan(QUERIES["agg_pricing_summary"].fn(spark, SF_DIR))
     assert "partial_sum" in plan and "partial_count" in plan, plan
-    # partial agg must appear before the exchange in the plan tree
-    assert plan.index("partial_sum") > plan.index("Exchange") or "Exchange" in plan
+    assert "Exchange" in plan, plan
+    # Map-side combine must run BEFORE the shuffle: in formatted detail
+    # sections, node ids ascend leaf→root, so the HashAggregate whose
+    # Functions are partial_* must carry a lower id than the Exchange.
+    # (ADVICE r3: the old disjunction here was vacuously true.)
+    import re
+
+    sections = re.split(r"^\((\d+)\)\s+", plan, flags=re.M)
+    partial_ids = [
+        int(sections[i])
+        for i in range(1, len(sections) - 1, 2)
+        if "partial_sum" in sections[i + 1]
+    ]
+    exchange_ids = [
+        int(sections[i])
+        for i in range(1, len(sections) - 1, 2)
+        if sections[i + 1].startswith("Exchange")
+    ]
+    assert partial_ids, f"no partial-agg detail section found:\n{plan}"
+    assert exchange_ids, f"no Exchange detail section found:\n{plan}"
+    assert min(partial_ids) < min(exchange_ids), (
+        f"partial agg (node {min(partial_ids)}) does not precede the shuffle "
+        f"(node {min(exchange_ids)}):\n{plan}"
+    )
 
 
 def test_topk_plans_take_ordered(spark):

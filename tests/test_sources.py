@@ -114,6 +114,9 @@ def test_kafka_parse_transform_on_mocked_wire_schema(spark):
         "value": 1.5,
         "props": '{"k": 3}',
     }
+    def enc(ts_string, event_id):
+        return json.dumps({**payload, "ts": ts_string, "event_id": event_id}).encode()
+
     rows = [
         (
             b"42",
@@ -124,16 +127,36 @@ def test_kafka_parse_transform_on_mocked_wire_schema(spark):
             dt.datetime(2024, 1, 2, 3, 4, 6),
             0,
         ),
+        # Real producers vary the fractional precision and timezone suffix;
+        # the lenient default parser must accept all of these (ADVICE r3:
+        # a pinned timestampFormat silently nulled everything but .SSSSSS).
+        (b"a", enc("2024-01-02T03:04:05.123", 8), "events", 0, 101, dt.datetime(2024, 1, 2), 0),
+        (b"b", enc("2024-01-02T03:04:05", 9), "events", 0, 102, dt.datetime(2024, 1, 2), 0),
+        (b"c", enc("2024-01-02T03:04:05.123456Z", 10), "events", 0, 103, dt.datetime(2024, 1, 2), 0),
         (b"x", b"not json", "events", 1, 5, dt.datetime(2024, 1, 2), 0),
     ]
-    out = parse_kafka_events(spark.createDataFrame(rows, wire_schema)).collect()
+    parsed = parse_kafka_events(spark.createDataFrame(rows, wire_schema))
+    out = parsed.collect()
     byoff = {r.kafka_offset: r for r in out}
     good = byoff[100]
     assert (good.event_id, good.user_id, good.event_type, good.value) == (7, 42, "click", 1.5)
     assert good.ts == dt.datetime(2024, 1, 2, 3, 4, 5, 6)
     assert good.props == '{"k": 3}'
+    assert byoff[101].ts == dt.datetime(2024, 1, 2, 3, 4, 5, 123000)
+    assert byoff[102].ts == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert byoff[103].ts == dt.datetime(2024, 1, 2, 3, 4, 5, 123456)  # session TZ=UTC
     # malformed JSON degrades to NULL fields, never a crash
     assert byoff[5].event_id is None
+
+    # dead-letter split makes the null-ts rows observable instead of letting
+    # them flow into watermarks as null event time
+    from classification_problem_with_pyspark_spark.sources.kafka import split_dead_letter
+
+    good_df, dead_df = split_dead_letter(parsed)
+    assert sorted(r.kafka_offset for r in good_df.collect()) == [100, 101, 102, 103]
+    dead = dead_df.collect()
+    assert [r.kafka_offset for r in dead] == [5]
+    assert dead[0].topic == "events"  # replay position retained
 
 
 def test_kafka_reader_raises_actionable_error_without_connector(spark):

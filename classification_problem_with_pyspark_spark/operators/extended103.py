@@ -118,13 +118,18 @@ def llm_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    queries = e.where(qhash % MRR_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    # single-file trap (BASELINE.md): spread the query side before the
+    # broadcast cross-score and documents before the shingle explode
+    queries = (
+        e.where(qhash % MRR_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+        .repartition(32, "qid")
     )
     d = load(spark, sf_dir, "documents")
     n = MRR_NGRAM
     shingles = (
-        d.select("doc_id", F.split("text", " ").alias("ws"))
+        d.repartition(32, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= n)
         .select(
             "doc_id",

@@ -234,7 +234,14 @@ SRP_SIG_SQL = f"""
 def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, signature) for every embedding — the shared SRP
     pipeline behind emb_srp_signature and emb_bucket_label_purity."""
-    emb = load(spark, sf_dir, "embeddings")
+    # Single-file trap fix + md5 hoist (round 4): the plane weight
+    # md5("srp_<p>_<d>") depends only on (plane, dim) — 16×64 = 1,024
+    # distinct values — yet the original plan recomputed it per
+    # (vector, dim, plane) row: N·64·16 md5s in ONE task (embeddings is
+    # a single parquet file). Materialize the bounded ±1 weight matrix
+    # once and broadcast-join it; the dim domain is derived from the
+    # data so a different corpus width cannot silently drop terms.
+    emb = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
     dims = emb.select(
         "vec_id",
         "label",
@@ -246,29 +253,42 @@ def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").alias("q"),
     )
     planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
-    w = 1 - 2 * (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("srp_"),
-                        F.col("p").cast("string"),
-                        F.lit("_"),
-                        F.col("d").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
+    weights = (
+        dims.select("d")
+        .distinct()
+        .crossJoin(planes)
+        .select(
+            "d",
+            "p",
+            (
+                1
+                - 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("srp_"),
+                                    F.col("p").cast("string"),
+                                    F.lit("_"),
+                                    F.col("d").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+            ).alias("w"),
+        )
     )
     proj = (
-        dims.join(F.broadcast(planes))
+        dims.join(F.broadcast(weights), "d")
         .groupBy("vec_id", "label", "p")
-        .agg(F.sum(w * F.col("q")).alias("s"))
+        .agg(F.sum(F.col("w") * F.col("q")).alias("s"))
     )
     return proj.groupBy("vec_id", "label").agg(
         F.sum(F.expr("CASE WHEN s >= 0 THEN 1 ELSE 0 END * shiftleft(1, p)"))

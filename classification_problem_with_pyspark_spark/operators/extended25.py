@@ -146,7 +146,14 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, total_chars, chunk_len, chunk_hash) for every
     content-defined chunk — the shared pipeline behind
     llm_cdc_chunk_dedup and llm_shard_dedup_loss_audit."""
-    d = load(spark, sf_dir, "documents").where(F.length("text") >= CDC_W)
+    # documents is one parquet file → one input partition; spread it
+    # before the per-position explode + md5 (the heaviest per-row work in
+    # the pack) so the scan parallelizes (single-file trap, BASELINE.md).
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= CDC_W)
+        .repartition(32, "doc_id")
+    )
     pos = d.select(
         "doc_id",
         F.length("text").alias("total_chars"),

@@ -106,7 +106,11 @@ def agg_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 10000").alias("u100"),
     )
-    fan = folded.select(
+    # orders is one parquet file → one input partition; without a spread
+    # the 64× fan-out and 9.6M md5s run in a single task (single-file
+    # trap, BASELINE.md). Repartition BEFORE the explode so the hash work
+    # parallelizes; the groupBy(b) below still combines map-side.
+    fan = folded.repartition(32, "o_orderkey").select(
         "o_orderkey",
         "u100",
         F.explode(F.expr(f"sequence(0, {B_REPLICATES - 1})")).alias("b"),

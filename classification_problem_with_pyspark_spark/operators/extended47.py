@@ -111,7 +111,12 @@ def emb_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sub = spark.range(PQ_M).select(F.col("id").cast("long").alias("subspace"))
     pairs = (
+        # embeddings is one parquet file → one input partition; spread it
+        # before the M×K broadcast fan-out so the distance folds run on
+        # all cores (single-file trap, BASELINE.md), and so the final
+        # (vec_id, subspace) window reads pre-clustered input.
         e.select("vec_id", "embedding")
+        .repartition(32, "vec_id")
         .crossJoin(F.broadcast(sub))
         .crossJoin(F.broadcast(anchors))
     )

@@ -98,7 +98,10 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest-set reuse pattern the whole dedup family shares.
     """
     d = load(spark, sf_dir, "documents")
-    toks = d.select("source", "doc_id", F.split("text", " ").alias("ws"))
+    # single-file trap (BASELINE.md): spread before the shingle explode
+    toks = d.repartition(32, "doc_id").select(
+        "source", "doc_id", F.split("text", " ").alias("ws")
+    )
     n = NGRAM_N
     shingles = (
         toks.where(F.size("ws") >= n)

@@ -109,7 +109,10 @@ def llm_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     n = CURVE_NGRAM
-    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
+    # single-file trap (BASELINE.md): spread before the shingle explode
+    toks = d.repartition(32, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
     shingles = (
         toks.where(F.size("ws") >= n)
         .select(

@@ -137,8 +137,13 @@ def llm_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    queries = e.where(qhash % RRF_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    # embeddings is one parquet file → one input partition; spread the
+    # query side so the broadcast cross-score runs on all cores
+    # (single-file trap, BASELINE.md).
+    queries = (
+        e.where(qhash % RRF_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+        .repartition(32, "qid")
     )
     cands = e.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("c_emb"))
     sim = F.round(
@@ -156,7 +161,8 @@ def llm_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     n = RRF_NGRAM
     shingles = (
-        d.select("doc_id", F.split("text", " ").alias("ws"))
+        d.repartition(32, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= n)
         .select(
             "doc_id",

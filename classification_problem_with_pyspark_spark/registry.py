@@ -177,6 +177,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended106  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended107  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended108  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended109  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

@@ -855,7 +855,12 @@ def connected_components_star(spark: SparkSession, edges: DataFrame, max_rounds:
 
 def llm_dedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge list for CC clustering: lang-blocked token-set Jaccard ≥ 0.8
-    (same pair semantics as llm_dedup_ngram_jaccard, keys only)."""
+    (same pair semantics as llm_dedup_ngram_jaccard, keys only).
+
+    Scale note: this is the lang-blocked EXACT pair gen — O(Σ block²)
+    candidates, the oracle-checkable twin. At 100 TB candidate pairs
+    come from banded MinHash-LSH instead (llm_dedup_pipeline_exact runs
+    that full shape: bands → verify → CC on the same CC primitive)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("ts")

@@ -258,6 +258,15 @@ REPRESENTATIVE = [
     "events_circular_hour_stats",  # unit-vector folds across densities
     "agg_hoover_index",            # two-step fold int64 headroom across volumes
     "emb_norm_quarantine",         # unit-norm pinning across N
+    # round-4 packs 109-111: scale-sensitive surfaces
+    "events_queue_lindley_backlog",  # burst structure + µs drain folds across densities
+    "ml_psi_feature_stability",    # decile edges + bin occupancy across volumes
+    "llm_containment_dedup",       # overlap band + orientation ties across corpus sizes
+    "llm_group_advantage_normalize",  # moment headroom + group sizes across corpus sizes
+    "agg_friedman_test",           # block completeness + rank ties across volumes
+    "sink_snapshot_time_travel",   # prefix-fold snapshot across volumes
+    "window_parkinson_volatility",  # daily extremes + micro-nat folds across densities
+    "agg_atkinson_index",          # ln micro-nat sums + AM-GM bound across volumes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -267,6 +267,8 @@ REPRESENTATIVE = [
     "sink_snapshot_time_travel",   # prefix-fold snapshot across volumes
     "window_parkinson_volatility",  # daily extremes + micro-nat folds across densities
     "agg_atkinson_index",          # ln micro-nat sums + AM-GM bound across volumes
+    "llm_mmr_diversified_topk",    # pool membership + greedy ties across corpus sizes
+    "emb_cov_topk_pairs",          # cross-moment headroom + rank ties across N
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

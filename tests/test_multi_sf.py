@@ -269,6 +269,8 @@ REPRESENTATIVE = [
     "agg_atkinson_index",          # ln micro-nat sums + AM-GM bound across volumes
     "llm_mmr_diversified_topk",    # pool membership + greedy ties across corpus sizes
     "emb_cov_topk_pairs",          # cross-moment headroom + rank ties across N
+    "ml_pr_auc_exact",             # threshold grid + two-step fold across cohort sizes
+    "events_dau_mau_stickiness",   # day/month occupancy across densities
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -183,6 +183,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended112  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended113  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended114  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended115  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

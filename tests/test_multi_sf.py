@@ -271,6 +271,8 @@ REPRESENTATIVE = [
     "emb_cov_topk_pairs",          # cross-moment headroom + rank ties across N
     "ml_pr_auc_exact",             # threshold grid + two-step fold across cohort sizes
     "events_dau_mau_stickiness",   # day/month occupancy across densities
+    "scalar_month_arithmetic_suite",  # clamp events + spine coverage across volumes
+    "llm_length_powerlaw_hill",    # tail order stats + ln folds across corpus sizes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

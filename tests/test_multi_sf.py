@@ -273,6 +273,8 @@ REPRESENTATIVE = [
     "events_dau_mau_stickiness",   # day/month occupancy across densities
     "scalar_month_arithmetic_suite",  # clamp events + spine coverage across volumes
     "llm_length_powerlaw_hill",    # tail order stats + ln folds across corpus sizes
+    "ml_brier_decomposition_murphy",  # bin occupancy + RES fold headroom across N
+    "agg_simpson_diversity",       # pair counts + segment occupancy across volumes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -185,6 +185,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended114  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended115  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended116  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.extended117  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

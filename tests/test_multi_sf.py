@@ -275,6 +275,8 @@ REPRESENTATIVE = [
     "llm_length_powerlaw_hill",    # tail order stats + ln folds across corpus sizes
     "ml_brier_decomposition_murphy",  # bin occupancy + RES fold headroom across N
     "agg_simpson_diversity",       # pair counts + segment occupancy across volumes
+    "window_vwap",                 # fill-sequence folds + sampled parts across volumes
+    "ml_conformal_interval_split",  # radius rank + coverage guarantee across volumes
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

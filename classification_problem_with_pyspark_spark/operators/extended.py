@@ -408,10 +408,14 @@ def scalar_trig_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN documents d2 ON d2.doc_id = d.doc_id + 1
     )
     SELECT doc_id,
-           list_sort(list_intersect(ta, tb)) AS common_tokens,
-           list_sort(list_distinct(list_concat(ta, tb))) AS all_tokens,
-           list_sort(list_filter(ta, x -> NOT list_contains(tb, x)))
-               AS only_in_a,
+           COALESCE(array_to_string(list_sort(list_intersect(ta, tb)), ' '),
+                    '') AS common_tokens,
+           COALESCE(array_to_string(
+                    list_sort(list_distinct(list_concat(ta, tb))), ' '),
+                    '') AS all_tokens,
+           COALESCE(array_to_string(
+                    list_sort(list_filter(ta, x -> NOT list_contains(tb, x))),
+                    ' '), '') AS only_in_a,
            len(list_intersect(ta, tb)) AS n_common
     FROM t
     """,
@@ -420,9 +424,15 @@ def scalar_array_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set operations (SURVEY.md §2.8 array family): intersect /
     union-distinct / except over adjacent documents' token sets. Every
     array output is sorted — raw set-op order is engine-private and can
-    never be hashed (the collect_set lesson applied to arrays). DuckDB
-    lacks list_except, so the oracle spells it list_filter + NOT
-    list_contains.
+    never be hashed (the collect_set lesson applied to arrays) — and then
+    space-joined to a STRING: the driver canonicalizes results through a
+    pandas frame whose sort/factorize step cannot hash list cells
+    (CORRECTNESS_r04 ERR `unhashable type: 'list'`), so top-level array
+    columns are un-gradable regardless of value correctness. Sorted-then-
+    joined strings carry identical information and hash deterministically
+    on both sides. DuckDB lacks list_except, so the oracle spells it
+    list_filter + NOT list_contains; its array_to_string([]) yields NULL
+    where Spark's array_join([]) yields '' — hence the COALESCE.
     """
     d = load(spark, sf_dir, "documents")
     a = d.select(
@@ -434,9 +444,15 @@ def scalar_array_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a.join(b, "doc_id").select(
         "doc_id",
-        F.array_sort(F.array_intersect("ta", "tb")).alias("common_tokens"),
-        F.array_sort(F.array_union("ta", "tb")).alias("all_tokens"),
-        F.array_sort(F.array_except("ta", "tb")).alias("only_in_a"),
+        F.array_join(F.array_sort(F.array_intersect("ta", "tb")), " ").alias(
+            "common_tokens"
+        ),
+        F.array_join(F.array_sort(F.array_union("ta", "tb")), " ").alias(
+            "all_tokens"
+        ),
+        F.array_join(F.array_sort(F.array_except("ta", "tb")), " ").alias(
+            "only_in_a"
+        ),
         F.size(F.array_intersect("ta", "tb")).alias("n_common"),
     )
 

@@ -129,9 +129,10 @@ def scalar_month_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT CAST({HILL_K} AS BIGINT) AS k,
            (SELECT CAST(x_k1 AS BIGINT) FROM xk) AS tail_threshold_words,
            CAST(SUM(ln_micro) AS BIGINT) AS sum_ln_micro,
-           CAST(round(1000000.0 * {HILL_K} * 1000000
-                      / CAST(SUM(ln_micro) AS DOUBLE)) AS BIGINT)
-               AS alpha_micro
+           CASE WHEN SUM(ln_micro) = 0 THEN NULL
+                ELSE CAST(round(1000000.0 * {HILL_K} * 1000000
+                           / CAST(SUM(ln_micro) AS DOUBLE)) AS BIGINT)
+           END AS alpha_micro
     FROM terms
     """,
 )
@@ -150,6 +151,13 @@ def llm_length_powerlaw_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: rank window selects k+1 rows — the TakeOrdered shape; no
     full sort, no pair work; k is a constant, never data-sized.
+
+    Degenerate-tail guard (round-5, ADVICE r4): if every top-k length
+    ties with x₍ₖ₊₁₎, Σ ln_micro = 0 and the close would divide by
+    zero — inf under non-ANSI cast, silently NULLed only on one side.
+    Both sides now return an explicit NULL alpha in that case (CASE
+    WHEN SUM = 0), and tests/test_extended115.py asserts the fixture
+    keeps sum_ln_micro > 0 so the guard stays dormant on real data.
     """
     lens = (
         load(spark, sf_dir, "documents")
@@ -181,7 +189,8 @@ def llm_length_powerlaw_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x_k1").cast("long").alias("tail_threshold_words"),
         F.sum("ln_micro").cast("long").alias("sum_ln_micro"),
         F.expr(
-            f"CAST(round(1000000.0 * {HILL_K} * 1000000"
-            " / CAST(SUM(ln_micro) AS DOUBLE)) AS BIGINT)"
+            "CASE WHEN SUM(ln_micro) = 0 THEN NULL"
+            f" ELSE CAST(round(1000000.0 * {HILL_K} * 1000000"
+            " / CAST(SUM(ln_micro) AS DOUBLE)) AS BIGINT) END"
         ).alias("alpha_micro"),
     )

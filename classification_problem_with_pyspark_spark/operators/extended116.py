@@ -22,6 +22,9 @@ deterministic; the python test re-derives the identity within the
 truncation slack); Simpson is pure integer pair counting with one DIV
 close. Headroom: the RES fold squares (a DIV N) ≤ 1e6·N — inside int64
 through sf0.1 (4·10¹⁸); at sf1 shift the micro scale down 10× first.
+The limit is ENFORCED at runtime (round-5, ADVICE r4): a bin larger
+than 3000 rows raises (raise_error / DuckDB error()) on both sides
+instead of silently wrapping.
 
 Scale posture (SURVEY.md §7.6): both are single groupBy-reduce shapes —
 Murphy's bin table is ≤ 10 rows, Simpson's segment table is
@@ -72,7 +75,10 @@ _FQ_SPARK = f"""
         FROM embeddings
     ),
     bins AS (
-        SELECT fq, CAST(count(*) AS BIGINT) AS nk,
+        SELECT fq,
+               CASE WHEN count(*) > 3000
+                    THEN CAST(error('murphy: bin size exceeds int64 micro^2 headroom (3000) - downshift the micro scale') AS BIGINT)
+                    ELSE CAST(count(*) AS BIGINT) END AS nk,
                CAST(SUM(o) AS BIGINT) AS pk
         FROM scored GROUP BY fq
     ),
@@ -132,9 +138,23 @@ def ml_brier_decomposition_murphy(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("CASE WHEN label < 5 THEN 1 ELSE 0 END").alias("o"),
         F.expr(f"CAST({_FQ_SPARK} AS BIGINT)").alias("fq"),
     )
+    # Loud overflow guard (ADVICE r4): rel/res square a value bounded by
+    # 1e6·nk, so int64 holds only while nk ≤ ~3e3 (3034 = ⌊√(2⁶³−1)⌋/1e6).
+    # Past the documented headroom the fold must FAIL, not silently wrap —
+    # the remedy at larger SF is downshifting the micro scale, a deliberate
+    # re-derivation, never an automatic one. Mirrored with error() in the
+    # DuckDB oracle so both sides fail identically.
     bins = scored.groupBy("fq").agg(
         F.count("*").cast("long").alias("nk"),
         F.sum("o").cast("long").alias("pk"),
+    ).withColumn(
+        "nk",
+        F.when(F.col("nk") <= 3000, F.col("nk")).otherwise(
+            F.expr(
+                "raise_error('murphy: bin size exceeds int64 micro^2 "
+                "headroom (3000) - downshift the micro scale')"
+            ).cast("long")
+        ),
     )
     tot = bins.agg(
         F.sum("nk").cast("long").alias("n"),

@@ -103,26 +103,37 @@ def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "byte_len": [len(a) for a in arrs],
                 "byte_mean": [round(float(a.mean()), 6) if len(a) else 0.0 for a in arrs],
                 "byte_max": [int(a.max()) if len(a) else 0 for a in arrs],
+                # Sampled frames / resized buckets are emitted as space-
+                # joined STRINGS, not array columns: the grading harness
+                # canonicalizes through pandas, which cannot hash list
+                # cells, so top-level arrays are un-gradable (the
+                # scalar_array_setops_suite lesson). repr() of the
+                # pre-rounded floats is deterministic on both sides.
                 "frame_sample": [
-                    a[:: max(1, len(a) // 4)][:4].astype(np.int64).tolist() for a in arrs
+                    " ".join(
+                        str(x)
+                        for x in a[:: max(1, len(a) // 4)][:4].astype(np.int64)
+                    )
+                    for a in arrs
                 ],
                 # resize analog: resample every payload to a FIXED length
                 # (16 bucket means) the way an image resize normalizes
                 # variable dims to a model's input shape
                 "resized_16": [
-                    [
-                        round(float(c.mean()), 6)
-                        for c in np.array_split(a, 16)
-                        if len(c)
-                    ]
-                    if len(a) >= 16
-                    else [round(float(a.mean()), 6)] * 16
-                    if len(a)
-                    else [0.0] * 16
-                    for a in arrs
+                    " ".join(repr(v) for v in _resize16(a)) for a in arrs
                 ],
             }
         )
+
+
+def _resize16(a: np.ndarray) -> list[float]:
+    if len(a) >= 16:
+        return [
+            round(float(c.mean()), 6) for c in np.array_split(a, 16) if len(c)
+        ]
+    if len(a):
+        return [round(float(a.mean()), 6)] * 16
+    return [0.0] * 16
 
 
 @register("multimodal_decode_stub", oracle=None)
@@ -130,13 +141,15 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over the binary payload (STUBBED
     decode — deterministic fake; see decode_media for the real seam).
     Exercises the full Arrow binary-batch path: binary column → pandas
-    batches → numpy → typed output schema incl. an array column
-    ('frame_sample' models frame/patch sampling)."""
+    batches → numpy → typed output schema. 'frame_sample' models
+    frame/patch sampling and 'resized_16' a fixed-shape resize; both are
+    emitted as space-joined strings so the harness can hash them (pandas
+    canonicalization cannot sort list cells)."""
     m = _media_table(spark, sf_dir)
     return m.select("media_id", "payload").mapInPandas(
         _fake_decode_batches,
         schema="media_id long, byte_len int, byte_mean double, byte_max int, "
-        "frame_sample array<long>, resized_16 array<double>",
+        "frame_sample string, resized_16 string",
     )
 
 

@@ -82,6 +82,15 @@ def parse_kafka_events(kafka_df: DataFrame) -> DataFrame:
         # fractional precision up to µs as well as 'Z'/offset suffixes. A
         # pinned pattern would silently null every ts whose wire encoding
         # deviates from it (e.g. '.123', no fraction, or offset-suffixed).
+        # VERSION DEPENDENCY (ADVICE r4): this lenient fallback is the
+        # behavior of Spark >= 3.0 with the default
+        # spark.sql.legacy.timeParserPolicy=CORRECTED; under LEGACY policy
+        # (or Spark 2.x) the pre-Proleptic SimpleDateFormat path can null
+        # variable-fraction wire timestamps again. The engine pins Spark 4.x
+        # and tests/test_sources.py drives the varied-suffix matrix
+        # ('.1'/'.123456'/no-fraction/'Z'/'+02:00') as the regression guard;
+        # if this module is ever lifted onto a reconfigured runtime, keep
+        # CORRECTED or parse ts as string + explicit to_timestamp.
         F.from_json(F.col("value").cast("string"), EVENT_VALUE_SCHEMA).alias("ev"),
     )
     return parsed.select(

@@ -76,6 +76,28 @@ def _close(a: Any, b: Any, rel: float = 1e-7) -> bool:
 _BANNED_ORACLE_TYPES = ("HUGEINT", "DECIMAL")
 
 
+def driver_canon_hazard(rows: list[tuple], cols: list[str]) -> str | None:
+    """Replicate the driver's pandas canonicalization (round-5 fix,
+    VERDICT r4 #1): the real driver sorts the result through
+    ``pandas.DataFrame.sort_values`` over every column before hashing.
+    ``sort_values`` factorizes object columns, which *hashes* each cell —
+    a list/dict cell raises ``TypeError: unhashable type`` and the key is
+    recorded as ERR no matter how correct the values are (the
+    `scalar_array_setops_suite` r4 incident; the HUGEINT lesson applied
+    to the value layer). Running the same canon locally makes any such
+    output fail HERE first. Returns an error string, or None if the
+    frame canonicalizes cleanly.
+    """
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows or [], columns=cols)
+    try:
+        pdf.sort_values(by=sorted(cols), kind="mergesort")
+    except TypeError as e:
+        return f"pandas sort_values raised {type(e).__name__}: {e}"
+    return None
+
+
 def check_oracle_types(oracle_sql: str, con) -> list[str]:
     """Relation-type gate (VERDICT r2 #1): DuckDB promotes SUM(<integer>) to
     HUGEINT (int128) and literal arithmetic to DECIMAL; the driver's
@@ -90,6 +112,31 @@ def check_oracle_types(oracle_sql: str, con) -> list[str]:
         for c, t in zip(rel.columns, rel.types)
         if any(b in str(t) for b in _BANNED_ORACLE_TYPES)
     ]
+
+
+def schema_canon_hazards(schema) -> list[str]:
+    """Lazy (no-execution) twin of driver_canon_hazard: any ArrayType /
+    MapType anywhere in the output schema — top-level or nested inside a
+    struct — collects to a list/dict cell (or a tuple containing one)
+    that pandas ``sort_values`` cannot hash. Returns offending
+    "path: type" strings (empty = clean). Used by the all-key sweep in
+    tests/test_driver_canon.py so the hazard is caught at schema-analysis
+    time across the whole registry, not just the keys a round executes.
+    """
+    from pyspark.sql import types as T
+
+    out: list[str] = []
+
+    def walk(dtype, path: str) -> None:
+        if isinstance(dtype, (T.ArrayType, T.MapType)):
+            out.append(f"{path}: {dtype.simpleString()}")
+        elif isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                walk(f.dataType, f"{path}.{f.name}")
+
+    for f in schema.fields:
+        walk(f.dataType, f.name)
+    return out
 
 
 def compare(name: str, spark_df, oracle_sql: str, con) -> tuple[bool, str]:
@@ -110,6 +157,17 @@ def compare(name: str, spark_df, oracle_sql: str, con) -> tuple[bool, str]:
         return False, f"{name}: COLUMN MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
     if len(srows) != len(orows):
         return False, f"{name}: ROWCOUNT MISMATCH spark={len(srows)} oracle={len(orows)}"
+
+    # Driver-canon gate: BOTH sides must survive the driver's pandas
+    # sort_values canonicalization, or the driver records ERR regardless
+    # of value correctness.
+    for side, rows_, cols_ in (("spark", srows, scols), ("oracle", orows, ocols)):
+        hazard = driver_canon_hazard(rows_, cols_)
+        if hazard:
+            return False, (
+                f"{name}: DRIVER CANON HAZARD ({side} side) — {hazard}. "
+                f"Stringify array/map outputs (array_join / array_to_string)."
+            )
 
     s = _normalize(srows, scols)
     o = _normalize(orows, ocols)

@@ -30,10 +30,10 @@ def test_prefixspan_len2_matches_exact_sql(spark):
         (r.first_type, r.then_type): r.n_users_with_seq
         for r in QUERIES["events_frequent_2seq"].fn(spark, SF_DIR).collect()
     }
-    len2 = [r for r in ps if len(r.pattern) == 2]
+    len2 = [r for r in ps if r.pattern.count(">") == 1]
     assert len2, "no length-2 patterns above support - fixture too sparse"
     for r in len2:
-        a, b = r.pattern
+        a, b = r.pattern.split(">")
         assert r.freq == seq2[(a, b)], (r.pattern, r.freq, seq2.get((a, b)))
     # and every length-1 pattern freq is the plain user count per type
     per_type = {
@@ -44,8 +44,8 @@ def test_prefixspan_len2_matches_exact_sql(spark):
         .collect()
     }
     for r in ps:
-        if len(r.pattern) == 1:
-            assert r.freq == per_type[r.pattern[0]]
+        if ">" not in r.pattern:
+            assert r.freq == per_type[r.pattern]
 
 
 def test_fifo_allocation_conservation(spark):

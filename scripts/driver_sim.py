@@ -9,11 +9,14 @@ a plain vanilla SparkSession like the task description shows, then:
   3. rows-only keys: run + count.
 
 Usage: python scripts/driver_sim.py [key ...]   (no args = all keys)
+Env:   DRIVER_SIM_SF_DIR=/root/testdata/sf0.1   (default sf0.01 — the
+       driver's grading scale; override for SF-robustness sweeps)
 """
 
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 import time
 
@@ -52,10 +55,11 @@ def main() -> int:
     print(f"entry(): {len(erows)} rows, schema={edf.columns} ({time.time()-t0:.1f}s)")
     assert len(erows) >= 0
 
+    sf_dir = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
@@ -67,7 +71,7 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            df = fn(spark, "/root/testdata/sf0.01")
+            df = fn(spark, sf_dir)
             if name in oracles:
                 ok, msg = compare(name, df, oracles[name], con)
                 if ok:
@@ -89,7 +93,7 @@ def main() -> int:
     # window grades more keys when every key stays cheap — this file is the
     # evidence + regression tripwire). Full sweeps only, so the record is
     # always complete.
-    if not only:
+    if not only and sf_dir.endswith("sf0.01"):
         import json
 
         with open("/root/repo/DRIVER_SIM_TIMINGS.json", "w") as f:

@@ -37,14 +37,28 @@ def _have_codec() -> bool:
 
 
 def decode_media(payload: bytes, media_type: str) -> "np.ndarray":
-    """REAL decode path — requires a codec library absent from this
-    container. Kept as the single seam a production build fills in."""
+    """REAL decode path. Codec-free container formats are decoded for
+    real, in pure numpy, by operators/multimodal_codec.py (round 5:
+    uncompressed 24-bit BMP, PCM16 WAV — both exactly oracle-checked
+    through an encode→decode round trip). Compressed formats (JPEG/PNG/
+    MP3/...) still need a codec library absent from this container; that
+    seam is kept explicit below for a production build to fill in."""
+    from classification_problem_with_pyspark_spark.operators.multimodal_codec import (
+        decode_bmp24,
+        decode_wav_pcm16,
+    )
+
+    if media_type == "image/bmp":
+        return decode_bmp24(payload)
+    if media_type in ("audio/wav", "audio/x-wav"):
+        return decode_wav_pcm16(payload)[1]
     if not _have_codec():
         raise NotImplementedError(
-            "media decode requires an image/audio codec library (e.g. PIL); "
-            "not available in this environment — use fake_decode_features"
+            f"decode of {media_type!r} requires a codec library (e.g. PIL); "
+            "not available in this environment — use fake_decode_features "
+            "(codec-free image/bmp and audio/wav ARE decoded for real)"
         )
-    raise NotImplementedError("codec present but decode unimplemented in v1")
+    raise NotImplementedError("codec present but compressed decode unimplemented in v1")
 
 
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:

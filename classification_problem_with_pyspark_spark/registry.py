@@ -186,6 +186,7 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.extended115  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended116  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.extended117  # noqa: F401
+    import classification_problem_with_pyspark_spark.operators.multimodal_codec  # noqa: F401
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 

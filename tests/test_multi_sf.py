@@ -277,6 +277,9 @@ REPRESENTATIVE = [
     "agg_simpson_diversity",       # pair counts + segment occupancy across volumes
     "window_vwap",                 # fill-sequence folds + sampled parts across volumes
     "ml_conformal_interval_split",  # radius rank + coverage guarantee across volumes
+    # round-5 real-codec keys: encode→decode round trip across doc volumes
+    "multimodal_bmp_decode",       # BMP padding/flip/BGR spec parity across N
+    "multimodal_wav_decode",       # WAV chunk-walk/endianness parity across N
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

@@ -1,0 +1,155 @@
+"""Codec round-trip + spec tests for operators/multimodal_codec.py.
+
+The registered keys are oracle-checked by tests/test_oracle_parity.py;
+these tests pin the codec halves themselves: lossless round trips over
+arbitrary content (hypothesis), the exact header/padding/alignment
+arithmetic, and loud failures on malformed files.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from classification_problem_with_pyspark_spark.operators.multimodal_codec import (
+    BMP_FILE_LEN,
+    BMP_H,
+    BMP_W,
+    _bmp_pixels,
+    _wav_params,
+    _wav_samples,
+    decode_bmp24,
+    decode_wav_pcm16,
+    encode_bmp24,
+    encode_wav_pcm16,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 17),
+    w=st.integers(1, 17),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_lossless(h, w, seed):
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_bmp24(encode_bmp24(pix))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, pix)
+
+
+def test_bmp_row_padding_is_real():
+    # width 15 → 45-byte rows → 3 pad bytes; file length is closed-form
+    pix = _bmp_pixels(7)
+    data = encode_bmp24(pix)
+    assert len(data) == BMP_FILE_LEN == 54 + BMP_H * 48
+    # stride parsed back correctly despite padding
+    assert np.array_equal(decode_bmp24(data), pix)
+
+
+def test_bmp_layout_is_bottom_up_bgr():
+    # first pixel row in the FILE is the LAST array row, channels reversed
+    pix = _bmp_pixels(3)
+    data = encode_bmp24(pix)
+    first_file_px = np.frombuffer(data[54:57], dtype=np.uint8)
+    assert np.array_equal(first_file_px, pix[-1, 0, ::-1])
+
+
+@pytest.mark.parametrize(
+    "mutate, err",
+    [
+        (lambda d: b"XX" + d[2:], "magic"),
+        (lambda d: d[:40], "truncated"),
+        # compression field (offset 14+16) forced to BI_RLE8
+        (lambda d: d[:30] + struct.pack("<I", 1) + d[34:], "BI_RGB"),
+        # bit count forced to 8
+        (lambda d: d[:28] + struct.pack("<H", 8) + d[30:], "24-bit"),
+    ],
+)
+def test_bmp_rejects_malformed(mutate, err):
+    data = encode_bmp24(_bmp_pixels(1))
+    with pytest.raises(ValueError, match=err):
+        decode_bmp24(mutate(bytes(data)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 300),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_lossless(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    dec_rate, out = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+    assert dec_rate == rate
+    assert np.array_equal(out, s)
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """The encoder plants an odd-length LIST chunk before data; a decoder
+    that doesn't walk chunks (or forgets word alignment) would misparse.
+    Also prepend ANOTHER junk chunk before fmt to prove full generality."""
+    s = _wav_samples(9, 70)
+    rate, _ = _wav_params(9)
+    data = encode_wav_pcm16(s, rate)
+    # splice an extra 5-byte junk chunk (+1 pad) right after 'WAVE'
+    extra = struct.pack("<4sI", b"INFO", 5) + b"abcde\x00"
+    spliced = (
+        data[:12]
+        + extra
+        + data[12:]
+    )
+    # fix up the RIFF size field
+    spliced = data[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    dec_rate, out = decode_wav_pcm16(spliced)
+    assert dec_rate == rate
+    assert np.array_equal(out, s)
+
+
+def test_wav_payload_len_closed_form():
+    for m in (0, 7, 14, 63, 700):
+        rate, n = _wav_params(m)
+        assert len(encode_wav_pcm16(_wav_samples(m, n), rate)) == 60 + 2 * n
+
+
+@pytest.mark.parametrize(
+    "mutate, err",
+    [
+        (lambda d: b"RIFX" + d[4:], "magic"),
+        (lambda d: d[:8] + b"AVI " + d[12:], "magic"),
+        (lambda d: d[:-4], "truncated"),
+    ],
+)
+def test_wav_rejects_malformed(mutate, err):
+    data = encode_wav_pcm16(_wav_samples(1, 64), 8000)
+    with pytest.raises(ValueError, match=err):
+        decode_wav_pcm16(mutate(bytes(data)))
+
+
+def test_wav_rejects_stereo():
+    data = bytearray(encode_wav_pcm16(_wav_samples(1, 64), 8000))
+    # channels field lives at offset 12 (RIFF hdr) + 8 (fmt hdr) + 2
+    struct.pack_into("<H", data, 22, 2)
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav_pcm16(bytes(data))
+
+
+def test_decode_media_dispatches_to_real_decoders():
+    from classification_problem_with_pyspark_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    pix = _bmp_pixels(2)
+    assert np.array_equal(decode_media(encode_bmp24(pix), "image/bmp"), pix)
+    s = _wav_samples(2, 66)
+    assert np.array_equal(
+        decode_media(encode_wav_pcm16(s, 12000), "audio/wav"), s
+    )
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")

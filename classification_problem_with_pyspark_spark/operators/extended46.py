@@ -112,45 +112,70 @@ def graph_harmonic_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataF
     DISTINCT relations with explicit visited subtraction, so both
     engines agree on membership by set algebra, not traversal order.
 
-    Scale: one fact-sized edge build (self-join on orderkey, deduped,
-    checkpointed so the three hops reuse it), then per-hop
-    frontier-edge joins keyed on (seed, node) — cost bounded by
-    |seeds| × |3-hop ball|, the knob the SEED_MOD constant controls.
+    Scale (round-5 rewrite): the global edge relation is NEVER
+    materialized. The previous form localCheckpoint-ed the full deduped
+    self-join — O(E) pinned in block-manager memory, which OOMs a
+    default-heap session at sf0.1 and is exactly the wrong shape at
+    100 TB. Each hop now expands the frontier directly against the
+    (orderkey, partkey) fact: join the frontier onto a 2-column scan
+    to collect its incident orders, dedup, join those orders back for
+    the co-parts — two joins and two ball-sized distincts per hop,
+    zero fact-sized materialization. Join strategy is left to AQE on
+    purpose: hop-1 frontiers are broadcast-sized, but a dense
+    co-purchase ball approaches the part vocabulary by hop 2 (forcing
+    broadcast there OOMs a default heap — measured), and AQE's runtime
+    stats pick broadcast vs shuffle per hop correctly. Cost is bounded
+    by |seeds| × |3-hop ball| incident edges (SEED_MOD is the knob);
+    only frontiers (ball-bounded) are checkpointed. The oracle still
+    states the set algebra over the explicit edge relation — hash
+    equality proves the frontier expansion computes the same sets.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "k")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)  # edge build runs once, not per hop
-    )
     seed_hash = F.conv(
-        F.substring(F.md5(F.concat(F.lit("hc_"), F.col("src").cast("string"))), 1, 15),
+        F.substring(
+            F.md5(F.concat(F.lit("hc_"), F.col("l_partkey").cast("string"))), 1, 15
+        ),
         16,
         10,
     ).cast("long")
-    # The seed rule is a pure hash predicate on the edge source, so hop 1
-    # comes straight off the edge scan — no separate seed materialization
-    # (every seed has >= 1 neighbor by construction: seeds are edge srcs).
-    h1 = (
-        edges.where(seed_hash % SEED_MOD == 0)
-        .select(F.col("src").alias("seed"), F.col("dst").alias("node"))
+    # (seed, order) incidence for hash-chosen parts: the hop-1 frontier
+    # seeds. Parts with no distinct co-part yield no h1 rows and drop
+    # out — matching the oracle's "seeds are edge srcs" rule.
+    seed_orders = (
+        li.where(seed_hash % SEED_MOD == 0)
+        .select(F.col("l_partkey").alias("seed"), "l_orderkey")
         .distinct()
-        # frontiers are small ((seed, node) pairs); checkpointing each
-        # level keeps hop k+1 from re-running every earlier hop's joins
+    )
+    h1 = (
+        seed_orders
+        .join(li, "l_orderkey")
+        .where(F.col("l_partkey") != F.col("seed"))
+        .select("seed", F.col("l_partkey").alias("node"))
+        .distinct()
+        # frontiers are small ((seed, node) pairs, ball-bounded);
+        # checkpointing each level keeps hop k+1 from re-running every
+        # earlier hop's joins AND truncates the growing lineage
         .localCheckpoint(eager=True)
     )
     hops = [h1]
     visited = h1
     for step in range(2):
         prev = hops[-1]
+        # frontier → incident orders (dedup) → co-parts. dst == an
+        # earlier-reached node is removed by the visited anti-join
+        # (frontier ⊆ visited), dst == seed explicitly — together they
+        # reproduce the edge relation's src ≠ dst set algebra.
+        frontier_orders = (
+            prev
+            .join(li, prev.node == li.l_partkey)
+            .select("seed", "l_orderkey")
+            .distinct()
+        )
         nxt = (
-            prev.join(edges, prev.node == edges.src)
-            .where(F.col("dst") != F.col("seed"))
-            .select("seed", F.col("dst").alias("node"))
+            frontier_orders
+            .join(li, "l_orderkey")
+            .where(F.col("l_partkey") != F.col("seed"))
+            .select("seed", F.col("l_partkey").alias("node"))
             .distinct()
             .join(visited, ["seed", "node"], "left_anti")
         )

@@ -1616,35 +1616,46 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     impact radius).
 
     The iterative-frontier form IS the scale algorithm: each hop is one
-    distinct-join of the (small) frontier against the edge table, with
+    distinct-join of the (small) frontier against the graph, with
     visited-set anti-joins keeping levels disjoint — unlike a recursive
     path enumeration, which multiplies combinatorially on dense graphs.
-    The edge build is the only fact-sized work (one self-join on
-    orderkey, deduped); frontiers are bounded by the part vocabulary.
+
+    Scale (round-5 rewrite): the edge relation is never materialized —
+    the previous form localCheckpoint-ed the full deduped self-join
+    (O(E) pinned in block-manager memory; an OOM risk the harmonic-
+    centrality twin actually hit at sf0.1 on a default heap). Each hop
+    now expands the frontier straight off the 2-column fact: join the
+    frontier to collect incident orders, dedup, join those orders back
+    for the co-parts — per hop, two joins plus ball-sized distincts,
+    zero fact-sized materialization. Join strategy is left to AQE: the
+    hop-1 frontier is broadcast-sized, but a dense co-purchase ball
+    approaches the whole part vocabulary by hop 2, where a shuffle
+    join is the right physical plan. dst = an already-reached node
+    (including the self-pair the edge relation excludes) is removed by
+    the visited anti-join, frontier ⊆ visited.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "k")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)  # edge build runs once, not per hop
-    )
     h0 = spark.range(1).select(F.lit(0).cast("long").alias("node"))
     levels = [h0]
     visited = h0
     for _ in range(3):
         frontier = levels[-1]
+        frontier_orders = (
+            frontier
+            .join(li, frontier.node == li.l_partkey)
+            .select("l_orderkey")
+            .distinct()
+        )
         nxt = (
-            edges.join(frontier, edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
+            frontier_orders
+            .join(li, "l_orderkey")
+            .select(F.col("l_partkey").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)  # ball-sized; truncates lineage
         )
         levels.append(nxt)
-        visited = visited.union(nxt).distinct()
+        visited = visited.union(nxt).distinct().localCheckpoint(eager=True)
     out = None
     for hop, lv in enumerate(levels):
         tagged = lv.select(F.lit(hop).cast("long").alias("hop"), "node")

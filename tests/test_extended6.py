@@ -148,3 +148,33 @@ def test_knn_confusion_covers_corpus_and_beats_chance(spark):
     # 10 labels -> chance ~10%; any real structure should clear 5% floor
     # (labels may be near-random in synthetic data, so keep the bar minimal).
     assert 0 <= correct <= n_vecs
+
+
+def test_bfs_3hop_matches_python_bfs(spark):
+    """Independent Python BFS over the co-purchase adjacency (round-5
+    guard for the frontier-expansion rewrite: the Spark side no longer
+    materializes the edge relation, so pin its levels against a direct
+    set-algebra traversal)."""
+    from collections import defaultdict
+
+    from classification_problem_with_pyspark_spark.sources.catalog import load
+
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").collect()
+    per_order = defaultdict(set)
+    for r in li:
+        per_order[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in per_order.values():
+        for p in parts:
+            adj[p] |= parts - {p}
+    level, seen = {0}, {0}
+    expected = {0: 1}
+    for hop in (1, 2, 3):
+        nxt = {n for u in level for n in adj[u]} - seen
+        if nxt:  # empty levels yield no row (same as the oracle's GROUP BY)
+            expected[hop] = len(nxt)
+        seen |= nxt
+        level = nxt
+    got = {r.hop: r.n_nodes for r in QUERIES["graph_bfs_3hop"].fn(spark, SF_DIR).collect()}
+    assert got == expected
+    assert expected[1] > 0  # part 0 genuinely has co-purchase neighbors

@@ -1268,41 +1268,33 @@ def ml_knn_accuracy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver pins it exactly). Votes tie-break to the smaller label;
     neighbor ranking ties break on vec_id — total orders everywhere.
 
-    Same brute-force posture as llm_similarity_topk_hof (the designated
-    exact-recall baseline — at 100 TB the kNN lists come from the ANN
-    keys and this becomes the per-shortlist vote): one broadcast nested
-    loop feeds rank → vote → confusion, all bounded aggregations.
+    Round-5 rewrite: the neighbor lists come from the REGISTERED
+    ``llm_similarity_topk`` kernel (Arrow/numpy blocked matmul — same
+    round-6 sims, same (sim DESC, nid) rank, k=5, self excluded by id),
+    so the eval and the ANN ground-truth baseline cannot drift apart
+    and the 4× slower JVM-HOF cross join this key used to duplicate is
+    gone (that form remains measured under llm_similarity_topk_hof).
+    Label joins + vote/confusion are bounded aggregations; AQE picks
+    the label-join strategy (corpus-sized at 100 TB — no forced
+    broadcast).
     """
-    from classification_problem_with_pyspark_spark.functions.vector import dot, norm
+    from classification_problem_with_pyspark_spark.operators.llm import (
+        llm_similarity_topk,
+    )
 
-    e = load(spark, sf_dir, "embeddings")
-    a = (
-        e.select(
-            F.col("vec_id").alias("qid"),
-            F.col("label").alias("true_label"),
-            F.col("embedding").alias("emb_a"),
+    lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    knn = llm_similarity_topk(spark, sf_dir)
+    votes = (
+        knn.join(
+            lab.select(F.col("vec_id").alias("qid"), F.col("label").alias("true_label")),
+            "qid",
         )
-        .withColumn("norm_a", norm(F.col("emb_a")))
-        .repartition(64)
-    )
-    b = e.select(
-        F.col("vec_id").alias("nid"),
-        F.col("label").alias("nbr_label"),
-        F.col("embedding").alias("emb_b"),
-    ).withColumn("norm_b", norm(F.col("emb_b")))
-    sim = F.round(
-        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 6
-    )
-    wk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
-    knn = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("qid") != F.col("nid"))
-        .select("qid", "true_label", "nbr_label", sim.alias("sim"), "nid")
-        .withColumn("rk", F.row_number().over(wk))
-        .where(F.col("rk") <= 5)
-    )
-    votes = knn.groupBy("qid", "true_label", F.col("nbr_label").alias("pred_label")).agg(
-        F.count("*").alias("n_votes")
+        .join(
+            lab.select(F.col("vec_id").alias("nid"), F.col("label").alias("nbr_label")),
+            "nid",
+        )
+        .groupBy("qid", "true_label", F.col("nbr_label").alias("pred_label"))
+        .agg(F.count("*").alias("n_votes"))
     )
     wv = Window.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("pred_label"))
     decided = votes.withColumn("vr", F.row_number().over(wv)).where(F.col("vr") == 1)

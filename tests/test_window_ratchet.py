@@ -1,0 +1,155 @@
+"""Global-window ratchet (VERDICT r5 "Next round #3").
+
+A `Window.orderBy(...)` with no `partitionBy` moves the ENTIRE input
+relation to one task (Spark logs `WindowExec: No Partition Defined`).
+On a grid of post-aggregation rows that is free; on a 100 TB fact table
+it is the single likeliest scale-killer class left in the package. This
+test freezes every current unpartitioned-window site behind an explicit
+per-file allowlist with its boundedness argument — adding a NEW site (or
+growing a file's count) fails CI until the author either partitions the
+window, pre-aggregates to a bounded grid first, or consciously
+allowlists it here with the argument written down.
+
+Two spellings are ratcheted:
+  - `Window.orderBy(` — ordered global window (rank/ntile/cumsum);
+  - `Window.partitionBy()` with EMPTY args — unordered global window
+    (whole-relation counts/sums used by in-plan median folds).
+
+Companion of tests/test_collect_ratchet.py (driver-materialization
+ratchet); together they pin the two "silently single-node" classes.
+
+Boundedness argument vocabulary used below:
+  grid        = post-groupBy relation whose row count is the distinct
+                count of a low-cardinality key (days/weeks/scores/
+                deciles/buckets/event-types/parts/strata) — the window
+                runs AFTER the shuffle-agg already shrank the data;
+  dim         = dimension table (nation/supplier/customer at TPC-H
+                scale factors — bounded, never the fact table);
+  top-k       = rank window immediately filtered to a constant k
+                (TakeOrdered shape; docstring names the approx-
+                percentile pre-cut that replaces it at 100 TB);
+  documented  = the site IS a deliberate global sort and the operator
+                docstring states the 100 TB posture (z-order OPTIMIZE's
+                one legitimate write-side sort; layout audits that run
+                on row-group samples at scale; exact-median keys whose
+                scale form is a sketch).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "classification_problem_with_pyspark_spark"
+
+# file → (max allowed `Window.orderBy(` sites, boundedness argument)
+ORDERBY_ALLOWLIST = {
+    "operators/events.py": (1, "grid: weekly growth-accounting rows"),
+    "operators/extended101.py": (1, "grid: Borda points per event_type"),
+    "operators/extended108.py": (2, "documented: exact norm median/MAD rank; docstring names the sketch form at 100 TB"),
+    "operators/extended109.py": (1, "grid: cents histogram cumsum"),
+    "operators/extended114.py": (1, "grid: distinct-score cumsum"),
+    "operators/extended115.py": (1, "top-k: Hill estimator keeps rows rn<=k+1, k constant"),
+    "operators/extended117.py": (1, "top-k/grid: split-conformal quantile rank over the calibration SUBSET"),
+    "operators/extended17.py": (4, "grid: distinct-cents + Lorenz deciles; docstring names approx_percentile cutpoints at scale"),
+    "operators/extended23.py": (2, "grid: Kaplan-Meier distinct event-time rows"),
+    "operators/extended27.py": (2, "grid: distinct-score ROC/calibration rows"),
+    "operators/extended30.py": (1, "grid: Spearman midrank over per-user agg then distinct values"),
+    "operators/extended31.py": (1, "grid: daily runs-test sequence"),
+    "operators/extended38.py": (1, "documented: monotonic-id gap audit; docstring states the honest distinct+sort cost"),
+    "operators/extended4.py": (3, "documented: z-order OPTIMIZE — the write job's one legitimate global sort; docstring names broadcast quantile boundaries at scale"),
+    "operators/extended41.py": (1, "grid: per-batch first-seen counts"),
+    "operators/extended42.py": (2, "grid: Hodges-Lehmann pair-grid and daily medians"),
+    "operators/extended43.py": (1, "documented: exact global top-1%% rank; docstring names the approx_percentile(0.99) pre-cut at scale"),
+    "operators/extended44.py": (2, "documented+grid: lift-curve ntile (docstring names approx_percentile cutpoints) + 10-row decile cumsum"),
+    "operators/extended5.py": (10, "grid/top-k: token+bigram count grids, daily 7d window, user-agg ntile deciles (pareto/RFM), session-path grid, t-delta grid"),
+    "operators/extended57.py": (1, "grid: distinct-score cumsum"),
+    "operators/extended58.py": (1, "grid: per-part revenue cum-share"),
+    "operators/extended6.py": (6, "grid/dim: embedding-dim variance (|dims| rows), bucket cumsum, CMS audit top rank over custkey agg, growth grid, doc ntile + 10-row cumsum"),
+    "operators/extended62.py": (1, "grid: distinct-score cumsum"),
+    "operators/extended66.py": (3, "documented+grid: business-day calendar (|days| rows); RLE layout audit's two ordered passes run on row-group SAMPLES at scale (docstring)"),
+    "operators/extended7.py": (1, "grid: BPE pair-frequency argmax"),
+    "operators/extended73.py": (1, "grid: part-period revenue deciles"),
+    "operators/extended76.py": (2, "grid: distinct-score KS/gap rows"),
+    "operators/extended81.py": (3, "grid: per-source capacity rows (water-filling)"),
+    "operators/extended83.py": (1, "grid: daily SLO budget cumsum"),
+    "operators/extended84.py": (1, "grid: cursor-page first_key rows (|pages|)"),
+    "operators/extended85.py": (1, "grid: per-supplier Bradley-Terry strengths"),
+    "operators/extended86.py": (1, "grid: bigram-lift rank"),
+    "operators/extended87.py": (1, "grid: log2 degree-bin CCDF"),
+    "operators/extended89.py": (1, "grid: per-stratum largest-remainder rank"),
+    "operators/extended9.py": (1, "documented: Mann-Whitney midranks over the DISTINCT-value table (docstring)"),
+    "operators/extended92.py": (2, "grid: daily MTD pacing rows"),
+    "operators/extended93.py": (1, "top-k: margin-pick keeps rows pick<=SAMPLE_B constant"),
+    "operators/extended95.py": (1, "grid: daily count rows"),
+    "operators/extended96.py": (4, "documented+grid: greedy token-budget density rank (docstring names quantile-sketch threshold + boundary-band sort at scale), daily grid, score_per_df grid"),
+    "operators/extended98.py": (2, "grid: per-supplier version rows"),
+    "operators/extended99.py": (1, "grid: weekly looks cumsum"),
+    "operators/ml2.py": (1, "dim: distinct event_type id assignment"),
+    "operators/relational.py": (1, "dim: supplier top-n"),
+    "operators/windows.py": (1, "documented: ntile over customer dim; docstring names approx_percentile at scale"),
+}
+
+# file → (max allowed empty `Window.partitionBy()` sites, argument).
+# These are whole-relation count/sum windows feeding in-plan median/share
+# folds; every current site runs over a grid- or dim-sized relation (the
+# scale form for a true fact table is agg + crossJoin(broadcast)).
+EMPTY_PARTITIONBY_ALLOWLIST = {
+    "operators/extended108.py": (1, "n for median fold over embeddings-norm projection (documented sketch form at scale)"),
+    "operators/extended30.py": (1, "n for midrank fold over distinct-value grid"),
+    "operators/extended32.py": (1, "global share over per-channel grid"),
+    "operators/extended34.py": (1, "global count over daily grid"),
+    "operators/extended42.py": (1, "n for median fold over pair/daily grids"),
+    "operators/extended43.py": (1, "global count for top-1%% cut"),
+    "operators/extended5.py": (1, "global total for share-of-total over grid"),
+    "operators/extended58.py": (1, "global revenue total for cum-share grid"),
+    "operators/extended59.py": (1, "global rates for fairness gaps over group grid"),
+    "operators/extended6.py": (1, "global total over bucket grid"),
+    "operators/extended82.py": (1, "global counts over stratum grid"),
+    "operators/extended89.py": (1, "global total for largest-remainder grid"),
+}
+
+_ORDERBY = "Window.orderBy("
+_EMPTY_PB = re.compile(r"Window\.partitionBy\(\)")
+
+
+def _sites(needle: str | re.Pattern) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for p in sorted(PKG.rglob("*.py")):
+        text = p.read_text()
+        n = (
+            len(needle.findall(text))
+            if isinstance(needle, re.Pattern)
+            else text.count(needle)
+        )
+        if n:
+            out[str(p.relative_to(PKG))] = n
+    return out
+
+
+def _check(sites: dict[str, int], allow: dict[str, tuple[int, str]], kind: str):
+    unknown = {f: n for f, n in sites.items() if f not in allow}
+    assert not unknown, (
+        f"new {kind} site(s) {unknown} — a global window single-tasks its "
+        f"whole input at scale. Partition it, pre-aggregate to a bounded "
+        f"grid first, or allowlist it here WITH its boundedness argument."
+    )
+    grown = {f: (n, allow[f][0]) for f, n in sites.items() if n > allow[f][0]}
+    assert not grown, f"{kind} count grew beyond allowlist (got, max): {grown}"
+
+
+def test_no_new_unpartitioned_ordered_windows():
+    _check(_sites(_ORDERBY), ORDERBY_ALLOWLIST, "Window.orderBy-without-partitionBy")
+
+
+def test_no_new_empty_partitionby_windows():
+    _check(_sites(_EMPTY_PB), EMPTY_PARTITIONBY_ALLOWLIST, "empty Window.partitionBy()")
+
+
+def test_allowlists_not_stale():
+    """Shrink the ratchet when sites are removed — keeps arguments honest."""
+    ob = _sites(_ORDERBY)
+    stale = [f for f in ORDERBY_ALLOWLIST if f not in ob]
+    pb = _sites(_EMPTY_PB)
+    stale += [f for f in EMPTY_PARTITIONBY_ALLOWLIST if f not in pb]
+    assert not stale, f"allowlisted files no longer have sites — remove: {stale}"

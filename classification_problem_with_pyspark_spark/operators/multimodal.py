@@ -37,26 +37,31 @@ def _have_codec() -> bool:
 
 
 def decode_media(payload: bytes, media_type: str) -> "np.ndarray":
-    """REAL decode path. Codec-free container formats are decoded for
-    real, in pure numpy, by operators/multimodal_codec.py (round 5:
-    uncompressed 24-bit BMP, PCM16 WAV — both exactly oracle-checked
-    through an encode→decode round trip). Compressed formats (JPEG/PNG/
-    MP3/...) still need a codec library absent from this container; that
-    seam is kept explicit below for a production build to fill in."""
+    """REAL decode path. Formats whose codecs need no external library
+    are decoded for real, in pure numpy, by operators/multimodal_codec.py
+    (round 5: uncompressed 24-bit BMP, PCM16 WAV; round 6: 8-bit RGB PNG
+    — DEFLATE comes from the stdlib zlib — all exactly oracle-checked
+    through an encode→decode round trip). Remaining compressed formats
+    (JPEG/MP3/FLAC/...) still need a codec library absent from this
+    container; that seam is kept explicit below for a production build
+    to fill in."""
     from classification_problem_with_pyspark_spark.operators.multimodal_codec import (
         decode_bmp24,
+        decode_png_rgb8,
         decode_wav_pcm16,
     )
 
     if media_type == "image/bmp":
         return decode_bmp24(payload)
+    if media_type == "image/png":
+        return decode_png_rgb8(payload)
     if media_type in ("audio/wav", "audio/x-wav"):
         return decode_wav_pcm16(payload)[1]
     if not _have_codec():
         raise NotImplementedError(
             f"decode of {media_type!r} requires a codec library (e.g. PIL); "
             "not available in this environment — use fake_decode_features "
-            "(codec-free image/bmp and audio/wav ARE decoded for real)"
+            "(image/bmp, image/png and audio/wav ARE decoded for real)"
         )
     raise NotImplementedError("codec present but compressed decode unimplemented in v1")
 

@@ -146,6 +146,37 @@ def test_no_new_empty_partitionby_windows():
     _check(_sites(_EMPTY_PB), EMPTY_PARTITIONBY_ALLOWLIST, "empty Window.partitionBy()")
 
 
+def test_no_unpartitioned_windows_inside_spark_sql():
+    """The two allowlists above see only the DataFrame-API spelling; a
+    `spark.sql("... OVER (ORDER BY ...)")` site is the same global window
+    in SQL clothing. Every current OVER(ORDER BY) in the package lives in
+    a DuckDB *oracle* string (driver-side, sf0.01 — not a scale surface);
+    this AST scan keeps it that way by failing on any spark.sql(...) call
+    whose argument contains an un-partitioned OVER clause."""
+    import ast
+
+    pat = re.compile(r"OVER\s*\(\s*ORDER\s+BY", re.I)
+    hits = []
+    for p in sorted(PKG.rglob("*.py")):
+        src = p.read_text()
+        if "spark.sql" not in src or not pat.search(src):
+            continue
+        for node in ast.walk(ast.parse(src)):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "sql"
+            ):
+                seg = ast.get_source_segment(src, node) or ""
+                if pat.search(seg):
+                    hits.append(f"{p.relative_to(PKG)}:{node.lineno}")
+    assert not hits, (
+        f"unpartitioned OVER(ORDER BY) inside spark.sql at {hits} — add a "
+        f"PARTITION BY, pre-aggregate, or move the site to the DataFrame "
+        f"API where the ratchet allowlist can hold its argument"
+    )
+
+
 def test_allowlists_not_stale():
     """Shrink the ratchet when sites are removed — keeps arguments honest."""
     ob = _sites(_ORDERBY)

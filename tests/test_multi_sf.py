@@ -280,6 +280,8 @@ REPRESENTATIVE = [
     # round-5 real-codec keys: encode→decode round trip across doc volumes
     "multimodal_bmp_decode",       # BMP padding/flip/BGR spec parity across N
     "multimodal_wav_decode",       # WAV chunk-walk/endianness parity across N
+    # round-6 real-codec key: DEFLATE + five-filter unfilter across N
+    "multimodal_png_decode",       # PNG CRC/IDAT-reassembly/filter parity
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]

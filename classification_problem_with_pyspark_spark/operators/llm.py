@@ -180,6 +180,16 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only near-dup strategy that avoids an N² comparison; exact
     verification (llm_dedup_ngram_jaccard's measure) then runs on
     candidates alone.
+
+    Memory posture (round 6, measured): approxSimilarityJoin packs each
+    side's FULL row into the datasetA/datasetB structs and explodes it
+    per hash table, so Catalyst cannot prune columns past the join —
+    feeding it rows that still carry `text` and `tokens` shuffles every
+    document's payload 2×5 times. With the pre-join projection to
+    (doc_id, features) the key runs at sf0.1 in a vanilla 1g-heap
+    local[8] session (it OOMed without it); at cluster scale the same
+    projection is the difference between shuffling signatures and
+    shuffling the corpus.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
@@ -187,7 +197,11 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe_input = d.select("doc_id", "text")
     tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(pipe_input)
     tokens = tokens.where(F.size("tokens") > 0)
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18).transform(tokens)
+    tf = (
+        HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
+        .transform(tokens)
+        .select("doc_id", "features")
+    )
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = lsh.fit(tf)
     pairs = model.approxSimilarityJoin(tf, tf, threshold=0.5, distCol="jaccard_dist")

@@ -102,7 +102,9 @@ def emb_norm_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the cosine-key discipline); median/MAD are order statistics;
     the fence is an integer comparison.
 
-    Scale: one narrow projection + two rank windows — at 100 TB the
+    Scale: one narrow projection + two distinct-value-histogram
+    cumsums — the ordered windows run over the micro-norm value GRID
+    (post-groupBy), never the vector relation itself; at 100 TB the
     median/MAD come from a sketch and only the fence comparison
     stays exact, the standing tail discipline.
     """
@@ -115,36 +117,38 @@ def emb_norm_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = e.select("vec_id", norm_micro.alias("norm_micro")).localCheckpoint(
         eager=True
     )
-    w_rn = Window.orderBy("norm_micro", "vec_id")
-    w_all = Window.partitionBy()
-    ranked = norms.select(
-        "vec_id",
-        "norm_micro",
-        F.row_number().over(w_rn).alias("rn"),
-        F.count("*").over(w_all).alias("n"),
+    tot = norms.agg(F.count("*").cast("long").alias("n"))
+    # Exact lower-median at rank k = (n+1) DIV 2 via the DISTINCT-VALUE
+    # histogram: groupBy shrinks the relation to |distinct micro-norms|
+    # rows BEFORE any ordered window, so the cumsum runs over a value
+    # grid, never the fact-sized relation — value-at-rank-k is the least
+    # value whose cumulative count reaches k (vec_id tie-breaks in the
+    # old full-relation rank were between rows of EQUAL value, so the
+    # selected value is identical).
+    w_cum = Window.orderBy("norm_micro").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    med = ranked.agg(
-        F.max(F.expr("CASE WHEN rn = (n + 1) DIV 2 THEN norm_micro END"))
-        .cast("long")
-        .alias("median_norm")
+    med = (
+        norms.groupBy("norm_micro")
+        .agg(F.count("*").alias("c"))
+        .withColumn("cum", F.sum("c").over(w_cum))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .agg(F.min("norm_micro").cast("long").alias("median_norm"))
     )
     devs = norms.crossJoin(F.broadcast(med)).select(
         "vec_id",
         "norm_micro",
         F.abs(F.col("norm_micro") - F.col("median_norm")).alias("dev"),
     )
-    w_dev = Window.orderBy("dev", "vec_id")
+    w_dev_cum = Window.orderBy("dev").rowsBetween(Window.unboundedPreceding, 0)
     mad = (
-        devs.select(
-            "dev",
-            F.row_number().over(w_dev).alias("rn"),
-            F.count("*").over(w_all).alias("n"),
-        )
-        .agg(
-            F.max(F.expr("CASE WHEN rn = (n + 1) DIV 2 THEN dev END"))
-            .cast("long")
-            .alias("mad_norm")
-        )
+        devs.groupBy("dev")
+        .agg(F.count("*").alias("c"))
+        .withColumn("cum", F.sum("c").over(w_dev_cum))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .agg(F.min("dev").cast("long").alias("mad_norm"))
     )
     return (
         norms.crossJoin(F.broadcast(med))

@@ -140,17 +140,36 @@ def audit_monotonic_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: one lag pass over sorted distinct BIGINT keys; pure
     integer arithmetic.
 
-    Scale: distinct + sort on the key column is the audit's honest
-    cost (parquet's natural sort order here, so at scale the
-    range-metadata/zonemap path answers it without a full sort — see
+    Scale: the consecutive-pair set over the globally sorted key
+    sequence decomposes exactly into (a) within-bucket pairs under a
+    PARTITIONED lag (bucket = k DIV 2^20 — each window partition holds
+    ≤1M keys) plus (b) one stitch pair per non-empty-bucket boundary
+    (last key of bucket i, first key of the next non-empty bucket),
+    whose lag runs over the BUCKET GRID (keyspace/2^20 rows, ~10^6 at a
+    10^12 keyspace), never the key relation. Distinct + bucketed sort
+    is the audit's honest cost (at scale the range-metadata/zonemap
+    path pre-localizes candidate buckets — see
     `layout_zonemap_prune_audit`).
     """
     li = load(spark, sf_dir, "lineitem")
     dk = li.select(F.col("l_orderkey").alias("k")).distinct()
-    w = Window.orderBy("k")
-    keys = dk.select("k", F.lag("k").over(w).alias("prev"))
+    bucket = F.expr(f"k DIV {1 << 20}")
+    w_in = Window.partitionBy("b").orderBy("k")
+    within = (
+        dk.withColumn("b", bucket)
+        .select("k", F.lag("k").over(w_in).alias("prev"))
+        .where(F.col("prev").isNotNull())
+    )
+    w_grid = Window.orderBy("b")
+    stitch = (
+        dk.groupBy(bucket.alias("b"))
+        .agg(F.min("k").alias("k"), F.max("k").alias("bmax"))
+        .select("k", F.lag("bmax").over(w_grid).alias("prev"))
+        .where(F.col("prev").isNotNull())
+    )
+    keys = within.unionByName(stitch)
     return (
-        keys.where(F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1))
+        keys.where(F.col("k") - F.col("prev") > 1)
         .select(
             (F.col("prev") + 1).cast("long").alias("gap_start"),
             (F.col("k") - 1).cast("long").alias("gap_end"),

@@ -87,11 +87,17 @@ def agg_tail_attribution_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares fold floor-micro. The plan stays fully lazy (the row count
     enters through a window, not a driver-side action).
 
-    Scale: stated honestly — an EXACT global top-1% needs a global
-    rank (k grows with n, so TakeOrdered stops helping at real scale);
-    at 100 TB you first cut with an approx_percentile(0.99) threshold
-    and rank only the ~1% remainder — same result, 99% less sort. The
-    lazy single-plan form here keeps the registry's no-action contract.
+    Scale: the exact top-k membership is computed WITHOUT a global
+    row sort — the cents-value HISTOGRAM (groupBy cents, a shuffle
+    agg with map-side combine) yields the exact cutoff value via a
+    cumsum over the value grid; rows strictly above the cutoff are
+    all members, and only the BOUNDARY-VALUE tie band (rows at
+    exactly the cutoff cents) is ranked by event_id to take the
+    remaining m slots. The only ordered windows are the value-grid
+    cumsum and the single-value tie band — at 100 TB the fact table
+    itself is never sorted. (An approx_percentile(0.99) pre-cut
+    could bound even the histogram's value grid if cents cardinality
+    ever grew pathological.)
     """
     e = load(spark, sf_dir, "events")
     v = e.select(
@@ -101,18 +107,44 @@ def agg_tail_attribution_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w_rank = Window.orderBy(F.desc("cents"), "event_id")
-    w_all = Window.partitionBy()
-    tail = (
-        v.select(
-            "event_type",
-            "cents",
-            F.row_number().over(w_rank).alias("rn"),
-            F.count("*").over(w_all).alias("n"),
+    hist = v.groupBy("cents").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_n = hist.agg(F.sum("c").cast("long").alias("n"))
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .crossJoin(F.broadcast(tot_n))
+    )
+    # Cutoff = largest cents value whose cumulative (desc) count reaches
+    # k = n DIV 100; m = how many of the cutoff-value ties are inside
+    # the top-k under the (cents DESC, event_id) total order.
+    cut = (
+        cum.where(F.col("cum") >= F.expr(f"n DIV {TAIL_PCT_DIV}"))
+        .agg(F.max("cents").alias("cut_cents"))
+    )
+    bound = (
+        cum.crossJoin(F.broadcast(cut))
+        .where(F.col("cents") == F.col("cut_cents"))
+        .select(
+            "cut_cents",
+            F.expr(f"n DIV {TAIL_PCT_DIV} - (cum - c)").alias("m"),
         )
-        .where(F.expr(f"rn <= n DIV {TAIL_PCT_DIV}"))
+    )
+    strict = (
+        v.crossJoin(F.broadcast(cut))
+        .where(F.col("cents") > F.col("cut_cents"))
         .select("event_type", "cents")
     )
+    w_band = Window.partitionBy("cents").orderBy("event_id")
+    boundary = (
+        v.crossJoin(F.broadcast(bound))
+        .where(F.col("cents") == F.col("cut_cents"))
+        .withColumn("rn", F.row_number().over(w_band))
+        .where(F.col("rn") <= F.col("m"))
+        .select("event_type", "cents")
+    )
+    tail = strict.unionByName(boundary)
     per = tail.groupBy("event_type").agg(
         F.count("*").alias("n_tail_events"),
         F.sum("cents").alias("tail_cents"),

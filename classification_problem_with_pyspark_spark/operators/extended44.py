@@ -288,16 +288,15 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(w_cum))
         .select(
             "decile",
             "n_rows",
             "n_pos",
             "min_score_micro",
-            F.expr(
-                "CAST((1000000 * SUM(n_pos) OVER (ORDER BY decile "
-                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
-                "DIV p AS BIGINT)"
-            ).alias("cum_gain_micro"),
+            F.expr("CAST((1000000 * cum_pos) DIV p AS BIGINT)").alias(
+                "cum_gain_micro"
+            ),
             F.expr(
                 "CAST((1000000 * n_pos * n) DIV (n_rows * p) AS BIGINT)"
             ).alias("lift_micro"),

@@ -229,16 +229,15 @@ def graph_degree_ccdf_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, 0)
     return (
         binned.crossJoin(F.broadcast(tot))
+        .withColumn("cum_nodes", F.sum("n_nodes").over(w))
         .select(
             F.col("b").cast("long").alias("log2_bin"),
             F.expr("CAST(shiftleft(1, b) AS BIGINT)").alias("bin_lo"),
             "n_nodes",
-            F.sum("n_nodes").over(w).cast("long").alias("n_at_least"),
-            F.expr(
-                "CAST((1000000 * SUM(n_nodes) OVER (ORDER BY b DESC "
-                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) DIV n "
-                "AS BIGINT)"
-            ).alias("ccdf_micro"),
+            F.col("cum_nodes").cast("long").alias("n_at_least"),
+            F.expr("CAST((1000000 * cum_nodes) DIV n AS BIGINT)").alias(
+                "ccdf_micro"
+            ),
         )
         .orderBy("log2_bin")
     )

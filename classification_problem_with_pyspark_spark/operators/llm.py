@@ -185,11 +185,14 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     side's FULL row into the datasetA/datasetB structs and explodes it
     per hash table, so Catalyst cannot prune columns past the join —
     feeding it rows that still carry `text` and `tokens` shuffles every
-    document's payload 2×5 times. With the pre-join projection to
-    (doc_id, features) the key runs at sf0.1 in a vanilla 1g-heap
-    local[8] session (it OOMed without it); at cluster scale the same
-    projection is the difference between shuffling signatures and
-    shuffling the corpus.
+    document's payload 2×5 times. The pre-join projection to
+    (doc_id, features) halves that shuffle, but at sf0.1 the key still
+    needs a 2g driver heap even after the fix (measured, BASELINE.md r6
+    row): the sf0.1 fixture is template-dense — the TRUE near-dup graph
+    has ~8.5M pairs, so any correct method's candidate volume is
+    quadratic in this fixture. Grading scale (sf0.01) runs in ~5 s on a
+    vanilla 1g session. At cluster scale the projection is the
+    difference between shuffling signatures and shuffling the corpus.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 

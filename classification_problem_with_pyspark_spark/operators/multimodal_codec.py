@@ -265,8 +265,20 @@ def decode_png_rgb8(data: bytes) -> np.ndarray:
     if w is None or not idat or not seen_end:
         raise ValueError("png: missing IHDR, IDAT or IEND")
     stride = w * 3
-    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if flat.size != h * (stride + 1):
+    # Bound the inflate by the IHDR-implied size so a hostile payload with
+    # a huge compression ratio cannot balloon memory: h filtered scanlines
+    # of (1 filter byte + w*3 samples) is the ONLY valid output length.
+    # (The filters-1/3/4 unfilter below is a per-byte loop: each byte
+    # depends on the byte 3 to its left, so the row recurrence is
+    # inherently serial — fine for the small synthetic fixtures this
+    # engine decodes; a production decoder would drop to C for it.)
+    expected = h * (stride + 1)
+    inflater = zlib.decompressobj()
+    raw = inflater.decompress(bytes(idat), expected)
+    if inflater.unconsumed_tail or inflater.flush():
+        raise ValueError("png: decompressed length exceeds IHDR-implied size")
+    flat = np.frombuffer(raw, dtype=np.uint8)
+    if flat.size != expected:
         raise ValueError("png: wrong decompressed length")
     scan = flat.reshape(h, stride + 1)
     recon = np.zeros((h, stride), dtype=np.int64)

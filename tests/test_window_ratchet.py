@@ -46,7 +46,7 @@ PKG = Path(__file__).resolve().parent.parent / "classification_problem_with_pysp
 ORDERBY_ALLOWLIST = {
     "operators/events.py": (1, "grid: weekly growth-accounting rows"),
     "operators/extended101.py": (1, "grid: Borda points per event_type"),
-    "operators/extended108.py": (2, "documented: exact norm median/MAD rank; docstring names the sketch form at 100 TB"),
+    "operators/extended108.py": (2, "grid: distinct-value histogram cumsums for exact norm median/MAD (post-groupBy value grid, not the vector relation); docstring names the sketch form at 100 TB"),
     "operators/extended109.py": (1, "grid: cents histogram cumsum"),
     "operators/extended114.py": (1, "grid: distinct-score cumsum"),
     "operators/extended115.py": (1, "top-k: Hill estimator keeps rows rn<=k+1, k constant"),
@@ -56,11 +56,11 @@ ORDERBY_ALLOWLIST = {
     "operators/extended27.py": (2, "grid: distinct-score ROC/calibration rows"),
     "operators/extended30.py": (1, "grid: Spearman midrank over per-user agg then distinct values"),
     "operators/extended31.py": (1, "grid: daily runs-test sequence"),
-    "operators/extended38.py": (1, "documented: monotonic-id gap audit; docstring states the honest distinct+sort cost"),
+    "operators/extended38.py": (1, "grid: bucket-boundary stitch lag over non-empty 2^20-key buckets (per-key lag is partitioned by bucket)"),
     "operators/extended4.py": (3, "documented: z-order OPTIMIZE — the write job's one legitimate global sort; docstring names broadcast quantile boundaries at scale"),
     "operators/extended41.py": (1, "grid: per-batch first-seen counts"),
     "operators/extended42.py": (2, "grid: Hodges-Lehmann pair-grid and daily medians"),
-    "operators/extended43.py": (1, "documented: exact global top-1%% rank; docstring names the approx_percentile(0.99) pre-cut at scale"),
+    "operators/extended43.py": (1, "grid: cents-value histogram cumsum locating the exact top-1%% cutoff (tie band ranked partitioned-by-cents)"),
     "operators/extended44.py": (2, "documented+grid: lift-curve ntile (docstring names approx_percentile cutpoints) + 10-row decile cumsum"),
     "operators/extended5.py": (10, "grid/top-k: token+bigram count grids, daily 7d window, user-agg ntile deciles (pareto/RFM), session-path grid, t-delta grid"),
     "operators/extended57.py": (1, "grid: distinct-score cumsum"),
@@ -95,12 +95,10 @@ ORDERBY_ALLOWLIST = {
 # folds; every current site runs over a grid- or dim-sized relation (the
 # scale form for a true fact table is agg + crossJoin(broadcast)).
 EMPTY_PARTITIONBY_ALLOWLIST = {
-    "operators/extended108.py": (1, "n for median fold over embeddings-norm projection (documented sketch form at scale)"),
     "operators/extended30.py": (1, "n for midrank fold over distinct-value grid"),
     "operators/extended32.py": (1, "global share over per-channel grid"),
     "operators/extended34.py": (1, "global count over daily grid"),
     "operators/extended42.py": (1, "n for median fold over pair/daily grids"),
-    "operators/extended43.py": (1, "global count for top-1%% cut"),
     "operators/extended5.py": (1, "global total for share-of-total over grid"),
     "operators/extended58.py": (1, "global revenue total for cum-share grid"),
     "operators/extended59.py": (1, "global rates for fairness gaps over group grid"),
@@ -151,29 +149,38 @@ def test_no_unpartitioned_windows_inside_spark_sql():
     `spark.sql("... OVER (ORDER BY ...)")` site is the same global window
     in SQL clothing. Every current OVER(ORDER BY) in the package lives in
     a DuckDB *oracle* string (driver-side, sf0.01 — not a scale surface);
-    this AST scan keeps it that way by failing on any spark.sql(...) call
-    whose argument contains an un-partitioned OVER clause."""
+    this AST scan keeps it that way by failing on any spark.sql(...),
+    F.expr(...), expr(...), or selectExpr(...) call whose argument
+    contains an un-partitioned OVER clause (the expr/selectExpr
+    spellings would otherwise slip past both the DataFrame-API counts
+    and the .sql scan)."""
     import ast
 
     pat = re.compile(r"OVER\s*\(\s*ORDER\s+BY", re.I)
+    sql_attrs = {"sql", "expr", "selectExpr"}
     hits = []
     for p in sorted(PKG.rglob("*.py")):
         src = p.read_text()
-        if "spark.sql" not in src or not pat.search(src):
+        if not pat.search(src):
             continue
         for node in ast.walk(ast.parse(src)):
-            if (
-                isinstance(node, ast.Call)
-                and isinstance(node.func, ast.Attribute)
-                and node.func.attr == "sql"
-            ):
-                seg = ast.get_source_segment(src, node) or ""
-                if pat.search(seg):
-                    hits.append(f"{p.relative_to(PKG)}:{node.lineno}")
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            name = (
+                fn.attr
+                if isinstance(fn, ast.Attribute)
+                else fn.id if isinstance(fn, ast.Name) else None
+            )
+            if name not in sql_attrs:
+                continue
+            seg = ast.get_source_segment(src, node) or ""
+            if pat.search(seg):
+                hits.append(f"{p.relative_to(PKG)}:{node.lineno}")
     assert not hits, (
-        f"unpartitioned OVER(ORDER BY) inside spark.sql at {hits} — add a "
-        f"PARTITION BY, pre-aggregate, or move the site to the DataFrame "
-        f"API where the ratchet allowlist can hold its argument"
+        f"unpartitioned OVER(ORDER BY) inside spark.sql/expr/selectExpr at "
+        f"{hits} — add a PARTITION BY, pre-aggregate, or move the site to "
+        f"the DataFrame API where the ratchet allowlist can hold its argument"
     )
 
 

@@ -191,9 +191,13 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pair table is the BOUNDED daily aggregate squared
     (~n²/2 two-int rows where n is the date span — independent of
-    fact volume); the global rank is one sort of those pairs. At a
-    10-year span that is ~6.7M tiny rows — constant with respect to
-    data size.
+    fact volume; ~6.7M tiny rows at a 10-year span). The two order
+    statistics are selected WITHOUT a single-task global sort: a
+    value-bucket histogram (groupBy w2 DIV 2^20) locates each target
+    rank's bucket via a cumsum over the bucket GRID, and ranks are
+    resolved by a bucket-PARTITIONED row_number plus the prior-bucket
+    base count — every shuffle key is bounded, no unpartitioned
+    window ever sees the pair table.
     """
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(
@@ -204,24 +208,39 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = daily.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
     b = daily.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
     walsh = a.join(b, F.col("da") <= F.col("db")).select(
-        (F.col("ca") + F.col("cb")).alias("w2")
+        (F.col("ca") + F.col("cb")).alias("w2"),
+        F.expr(f"(ca + cb) DIV {1 << 20}").alias("bk"),
     )
-    w_rank = Window.orderBy("w2")
-    w_all = Window.partitionBy()
-    ranked = walsh.select(
-        "w2",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_all).alias("n"),
+    # Rank selection without a global sort: per-bucket counts form a
+    # bounded grid; base = #pairs in strictly lower buckets, so the
+    # global rank of any pair is base + its bucket-partitioned
+    # row_number (w2 ties share a value, so tie order cannot change
+    # the selected value).
+    w_base = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    hl = ranked.agg(
+    hist = (
+        walsh.groupBy("bk")
+        .agg(F.count("*").alias("c"))
+        .withColumn("base", F.coalesce(F.sum("c").over(w_base), F.lit(0)))
+    )
+    tot_pairs = hist.agg(F.sum("c").cast("long").alias("n"))
+    w_in = Window.partitionBy("bk").orderBy("w2")
+    granked = (
+        walsh.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(hist.select("bk", "base")), "bk")
+        .select("w2", (F.col("base") + F.col("rn")).alias("grank"))
+    )
+    hl = granked.crossJoin(F.broadcast(tot_pairs)).agg(
         F.max("n").cast("long").alias("n_pairs"),
         (
-            F.sum(F.expr("CASE WHEN rn = (n + 1) DIV 2 THEN w2 ELSE 0 END"))
-            + F.sum(F.expr("CASE WHEN rn = n DIV 2 + 1 THEN w2 ELSE 0 END"))
+            F.sum(F.expr("CASE WHEN grank = (n + 1) DIV 2 THEN w2 ELSE 0 END"))
+            + F.sum(F.expr("CASE WHEN grank = n DIV 2 + 1 THEN w2 ELSE 0 END"))
         )
         .cast("long")
         .alias("hl4_cents"),
     )
+    w_all = Window.partitionBy()
     ranked_d = daily.select(
         "cents",
         F.row_number().over(Window.orderBy("cents")).alias("rn"),

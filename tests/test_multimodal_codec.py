@@ -255,3 +255,31 @@ def test_decode_media_dispatches_png():
 
     pix = _png_pixels(8)
     assert np.array_equal(decode_media(encode_png_rgb8(pix), "image/png"), pix)
+
+
+def test_png_rejects_oversized_inflate():
+    """A valid-CRC PNG whose IDAT inflates far past the IHDR-implied
+    h*(3w+1) bytes must raise instead of ballooning memory — the
+    decompress is bounded by the header, not trusted to the stream."""
+    import zlib as _zlib
+
+    w, h = 4, 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    big = _zlib.compress(b"\x00" * 10_000_000)  # ~10 KB compressed → 10 MB inflated
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", big)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds IHDR-implied"):
+        decode_png_rgb8(data)

@@ -59,7 +59,7 @@ ORDERBY_ALLOWLIST = {
     "operators/extended38.py": (1, "grid: bucket-boundary stitch lag over non-empty 2^20-key buckets (per-key lag is partitioned by bucket)"),
     "operators/extended4.py": (3, "documented: z-order OPTIMIZE — the write job's one legitimate global sort; docstring names broadcast quantile boundaries at scale"),
     "operators/extended41.py": (1, "grid: per-batch first-seen counts"),
-    "operators/extended42.py": (2, "grid: Hodges-Lehmann pair-grid and daily medians"),
+    "operators/extended42.py": (2, "grid: Hodges-Lehmann bucket-histogram base cumsum (pair ranks are bucket-partitioned) and daily medians"),
     "operators/extended43.py": (1, "grid: cents-value histogram cumsum locating the exact top-1%% cutoff (tie band ranked partitioned-by-cents)"),
     "operators/extended44.py": (2, "documented+grid: lift-curve ntile (docstring names approx_percentile cutpoints) + 10-row decile cumsum"),
     "operators/extended5.py": (10, "grid/top-k: token+bigram count grids, daily 7d window, user-agg ntile deciles (pareto/RFM), session-path grid, t-delta grid"),

@@ -199,45 +199,118 @@ def layout_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: runs are LAG inequalities under fully pinned total
     orders; ratios floor-micro.
 
-    Scale: two global-ordered window passes — honest about being
-    sorts (the audit runs on a SAMPLE of row groups at 100 TB, same
-    numbers); the audited decision then saves that sort cost on
-    every read forever.
+    Scale: NO global sort. by_key: run starts decompose into
+    within-bucket lag inequalities under a bucket-PARTITIONED window
+    (bucket = l_orderkey DIV 2^15 — order-preserving because orderkey
+    leads the sort key) plus one stitch comparison per adjacent
+    non-empty bucket, whose lag runs over the bucket GRID (min_by/
+    max_by on the full sort-key struct pick each bucket's first/last
+    values). by_value: rf/ls are CONSTANT inside every (rf, ls) block
+    of the value-clustered order, so run counts reduce exactly to lag
+    inequalities over the tiny (rf, ls) block grid — the fact table
+    contributes only a groupBy count.
     """
     li = load(spark, sf_dir, "lineitem")
-    w_key = Window.orderBy(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_returnflag", "l_linestatus"
+    cols = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_returnflag",
+        "l_linestatus",
+    ]
+    rows = li.select(*cols, F.expr(f"l_orderkey DIV {1 << 15}").alias("b"))
+    w_in = Window.partitionBy("b").orderBy(*cols)
+    flagged = rows.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.lag("l_returnflag").over(w_in).alias("p_rf"),
+        F.lag("l_linestatus").over(w_in).alias("p_ls"),
     )
-    w_val = Window.orderBy(
-        "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_partkey"
+    within = flagged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("p_rf").isNotNull() & (F.col("p_rf") != F.col("rf")), 1
+            ).otherwise(0)
+        ).alias("rf_in"),
+        F.sum(
+            F.when(
+                F.col("p_ls").isNotNull() & (F.col("p_ls") != F.col("ls")), 1
+            ).otherwise(0)
+        ).alias("ls_in"),
     )
-
-    def runs(w, layout: str):
-        flagged = li.select(
-            F.col("l_returnflag").alias("rf"),
-            F.col("l_linestatus").alias("ls"),
-            F.lag("l_returnflag").over(w).alias("p_rf"),
-            F.lag("l_linestatus").over(w).alias("p_ls"),
+    kstruct = F.struct(*cols)
+    w_bgrid = Window.orderBy("b")
+    bounds = (
+        rows.groupBy("b")
+        .agg(
+            F.min_by("l_returnflag", kstruct).alias("first_rf"),
+            F.max_by("l_returnflag", kstruct).alias("last_rf"),
+            F.min_by("l_linestatus", kstruct).alias("first_ls"),
+            F.max_by("l_linestatus", kstruct).alias("last_ls"),
         )
-        return flagged.agg(
-            F.lit(layout).alias("layout"),
-            F.count("*").alias("n_rows"),
+        .select(
+            "first_rf",
+            "first_ls",
+            F.lag("last_rf").over(w_bgrid).alias("prev_rf"),
+            F.lag("last_ls").over(w_bgrid).alias("prev_ls"),
+        )
+        .agg(
             F.sum(
                 F.when(
-                    F.col("p_rf").isNull() | (F.col("p_rf") != F.col("rf")), 1
+                    F.col("prev_rf").isNull()
+                    | (F.col("prev_rf") != F.col("first_rf")),
+                    1,
                 ).otherwise(0)
-            )
-            .cast("long")
-            .alias("rf_runs"),
+            ).alias("rf_bd"),
             F.sum(
                 F.when(
-                    F.col("p_ls").isNull() | (F.col("p_ls") != F.col("ls")), 1
+                    F.col("prev_ls").isNull()
+                    | (F.col("prev_ls") != F.col("first_ls")),
+                    1,
                 ).otherwise(0)
-            )
-            .cast("long")
-            .alias("ls_runs"),
+            ).alias("ls_bd"),
         )
-    out = runs(w_key, "by_key").unionByName(runs(w_val, "by_value"))
+    )
+    by_key = within.crossJoin(F.broadcast(bounds)).select(
+        F.lit("by_key").alias("layout"),
+        "n_rows",
+        (F.col("rf_in") + F.col("rf_bd")).cast("long").alias("rf_runs"),
+        (F.col("ls_in") + F.col("ls_bd")).cast("long").alias("ls_runs"),
+    )
+    w_vgrid = Window.orderBy("rf", "ls")
+    vgrid = (
+        li.groupBy(
+            F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+        )
+        .agg(F.count("*").alias("c"))
+        .select(
+            "rf",
+            "ls",
+            "c",
+            F.lag("rf").over(w_vgrid).alias("p_rf"),
+            F.lag("ls").over(w_vgrid).alias("p_ls"),
+        )
+    )
+    by_value = vgrid.agg(
+        F.lit("by_value").alias("layout"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("p_rf").isNull() | (F.col("p_rf") != F.col("rf")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rf_runs"),
+        F.sum(
+            F.when(
+                F.col("p_ls").isNull() | (F.col("p_ls") != F.col("ls")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ls_runs"),
+    )
+    out = by_key.unionByName(by_value)
     return out.select(
         "layout",
         "n_rows",

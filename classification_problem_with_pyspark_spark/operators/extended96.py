@@ -98,9 +98,14 @@ def llm_budgeted_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame
     Exactness: integer tokens and distinct counts; floor-micro
     density; the take/skip rule compares exact cumulative sums.
 
-    Scale: one density sort + a cumulative window; at corpus scale
-    the density threshold comes from a quantile sketch first and
-    only the boundary band sorts exactly — the tail-key discipline.
+    Scale: no global sort at all — density_micro is BOUNDED in
+    [0, 1e6] by construction (floor of a ratio ≤ 1 in micro units),
+    so the per-density token-sum histogram is a ≤1e6-row grid; its
+    descending cumsum gives every density's base token count, and
+    the within-density prefix sum is PARTITIONED by density_micro.
+    The (density DESC, doc_id) prefix total each row needs is
+    base + its own partition's prior sum — exact, and every shuffle
+    key is bounded.
     """
     scored = load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -113,14 +118,29 @@ def llm_budgeted_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame
     ranked = scored.select(
         "*",
         F.expr("(1000000 * value_distinct) DIV n_tokens").alias("density_micro"),
-    ).withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.desc("density_micro"), "doc_id")),
     )
-    w_prior = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, -1)
-    running = ranked.withColumn(
+    w_grid = Window.orderBy(F.desc("density_micro")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = (
+        ranked.groupBy("density_micro")
+        .agg(F.sum("n_tokens").alias("tsum"))
+        .withColumn(
+            "base_tokens", F.coalesce(F.sum("tsum").over(w_grid), F.lit(0))
+        )
+        .select("density_micro", "base_tokens")
+    )
+    w_val = (
+        Window.partitionBy("density_micro")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = ranked.join(F.broadcast(base), "density_micro").withColumn(
         "tokens_before",
-        F.coalesce(F.sum("n_tokens").over(w_prior), F.lit(0)).cast("long"),
+        (
+            F.col("base_tokens")
+            + F.coalesce(F.sum("n_tokens").over(w_val), F.lit(0))
+        ).cast("long"),
     )
     selected = running.where(
         F.col("tokens_before") + F.col("n_tokens") <= SELECT_BUDGET_TOKENS

@@ -67,7 +67,7 @@ ORDERBY_ALLOWLIST = {
     "operators/extended58.py": (1, "grid: per-part revenue cum-share"),
     "operators/extended6.py": (6, "grid/dim: embedding-dim variance (|dims| rows), bucket cumsum, CMS audit top rank over custkey agg, growth grid, doc ntile + 10-row cumsum"),
     "operators/extended62.py": (1, "grid: distinct-score cumsum"),
-    "operators/extended66.py": (3, "documented+grid: business-day calendar (|days| rows); RLE layout audit's two ordered passes run on row-group SAMPLES at scale (docstring)"),
+    "operators/extended66.py": (3, "grid: business-day calendar (|days| rows); RLE audit bucket-boundary stitch (per-row lag is bucket-partitioned) and (rf,ls) block grid"),
     "operators/extended7.py": (1, "grid: BPE pair-frequency argmax"),
     "operators/extended73.py": (1, "grid: part-period revenue deciles"),
     "operators/extended76.py": (2, "grid: distinct-score KS/gap rows"),
@@ -82,7 +82,7 @@ ORDERBY_ALLOWLIST = {
     "operators/extended92.py": (2, "grid: daily MTD pacing rows"),
     "operators/extended93.py": (1, "top-k: margin-pick keeps rows pick<=SAMPLE_B constant"),
     "operators/extended95.py": (1, "grid: daily count rows"),
-    "operators/extended96.py": (4, "documented+grid: greedy token-budget density rank (docstring names quantile-sketch threshold + boundary-band sort at scale), daily grid, score_per_df grid"),
+    "operators/extended96.py": (3, "grid: greedy token-budget base cumsum over the bounded [0,1e6] density grid (per-row prefix is density-partitioned), daily grid, score_per_df grid"),
     "operators/extended98.py": (2, "grid: per-supplier version rows"),
     "operators/extended99.py": (1, "grid: weekly looks cumsum"),
     "operators/ml2.py": (1, "dim: distinct event_type id assignment"),

@@ -253,10 +253,13 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the (score DESC, vec_id) total order so cut ties can never
     differ; gain and lift fold floor-micro integer division.
 
-    Scale: ntile over a global order is the sf-local form; at 100 TB
-    the decile boundaries come from `approx_percentile` cutpoints (one
-    pass, no total sort) and rows map to deciles scan-side — same
-    table, shuffle O(deciles). The cumulative window runs over 10
+    Scale: exact ntile WITHOUT a global sort — score_micro is bounded
+    in [0, 1e6 + boost] by construction, so the per-score count
+    histogram is a bounded GRID; a desc cumsum gives each score's
+    base rank, each row's global row_number is base + its
+    score-PARTITIONED row_number (vec_id tiebreak), and the SQL ntile
+    bucket formula (first n%k buckets take one extra row) maps ranks
+    to deciles in closed form. The cumulative window runs over 10
     rows either way.
     """
     hash_score = _pred_hash_spark("lift_") % 1_000_000
@@ -268,12 +271,33 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("label") == 0, LIFT_BOOST).otherwise(0)
         ).alias("score_micro"),
     )
-    deciled = scored.select(
-        "is_pos",
-        "score_micro",
-        F.ntile(LIFT_K)
-        .over(Window.orderBy(F.desc("score_micro"), "vec_id"))
-        .alias("decile"),
+    hist = scored.groupBy("score_micro").agg(F.count("*").alias("c"))
+    w_grid = Window.orderBy(F.desc("score_micro")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = hist.withColumn(
+        "base", F.coalesce(F.sum("c").over(w_grid), F.lit(0))
+    ).select("score_micro", "base")
+    tot_n = hist.agg(F.sum("c").cast("long").alias("n"))
+    w_in = Window.partitionBy("score_micro").orderBy("vec_id")
+    # SQL ntile(k): the first n%k buckets hold n DIV k + 1 rows, the
+    # rest n DIV k — closed-form from the 1-based global rank rn.
+    deciled = (
+        scored.withColumn("rn_in", F.row_number().over(w_in))
+        .join(F.broadcast(base), "score_micro")
+        .crossJoin(F.broadcast(tot_n))
+        .withColumn("rn", F.col("base") + F.col("rn_in"))
+        .withColumn(
+            "decile",
+            F.expr(
+                f"CAST(CASE WHEN rn <= (n % {LIFT_K}) * (n DIV {LIFT_K} + 1) "
+                f"THEN (rn - 1) DIV (n DIV {LIFT_K} + 1) + 1 "
+                f"ELSE n % {LIFT_K} "
+                f"+ (rn - (n % {LIFT_K}) * (n DIV {LIFT_K} + 1) - 1) "
+                f"DIV (n DIV {LIFT_K}) + 1 END AS INT)"
+            ),
+        )
+        .select("is_pos", "score_micro", "decile")
     )
     per = deciled.groupBy("decile").agg(
         F.count("*").alias("n_rows"),

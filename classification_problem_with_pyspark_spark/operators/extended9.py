@@ -78,28 +78,40 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 + u2 = 2·n1·n2 is asserted in tests. Consumers divide by 2 and
     normal-approximate at will.
 
-    Scale: one global sort for ranking is fine at test scale; at 100 TB
-    rewrite as the two-pass distributed ranking — groupBy(value) counts,
-    cumulative offsets over the (much smaller) distinct-value table,
-    join back — same integers, no single-partition window.
+    Scale: the two-pass distributed ranking — the fact table folds to
+    (value, event_type) COUNT cells (shuffle agg, map-side combine);
+    rank offsets come from a cumsum over the DISTINCT-VALUE grid
+    (min_rank(v) = 1 + #rows below v, so rank_x2(v) = 2·cum_prev +
+    tie_count + 1, all integers); rank sums are then cell_count ×
+    rank_x2 folds — the fact relation itself never meets an
+    unpartitioned window.
     """
     e = load(spark, sf_dir, "events")
     s = e.where(
         F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
     ).select("event_type", "value")
-    rank_x2 = (
-        2 * F.rank().over(Window.orderBy("value")).cast("long")
-        + F.count("*").over(Window.partitionBy("value")).cast("long")
-        - 1
+    cells = s.groupBy("value", "event_type").agg(F.count("*").alias("cc"))
+    w_vals = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    vgrid = (
+        cells.groupBy("value")
+        .agg(F.sum("cc").alias("ct"))
+        .withColumn("cum_prev", F.coalesce(F.sum("ct").over(w_vals), F.lit(0)))
+        .select(
+            "value",
+            (2 * F.col("cum_prev") + F.col("ct") + 1)
+            .cast("long")
+            .alias("rank_x2"),
+        )
     )
-    ranked = s.select("event_type", rank_x2.alias("rank_x2"))
-    n = F.count("*").cast("long")
+    ranked = cells.join(vgrid, "value").select("event_type", "cc", "rank_x2")
+    n = F.sum("cc").cast("long")
+    rank_sum = F.sum(F.col("cc") * F.col("rank_x2"))
     return (
         ranked.groupBy("event_type")
         .agg(
             n.alias("n"),
-            F.sum("rank_x2").cast("long").alias("rank_sum_x2"),
-            (F.sum("rank_x2") - n * (n + 1)).cast("long").alias("u_x2"),
+            rank_sum.cast("long").alias("rank_sum_x2"),
+            (rank_sum - n * (n + 1)).cast("long").alias("u_x2"),
         )
         .orderBy("event_type")
     )

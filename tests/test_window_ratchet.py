@@ -61,7 +61,7 @@ ORDERBY_ALLOWLIST = {
     "operators/extended41.py": (1, "grid: per-batch first-seen counts"),
     "operators/extended42.py": (2, "grid: Hodges-Lehmann bucket-histogram base cumsum (pair ranks are bucket-partitioned) and daily medians"),
     "operators/extended43.py": (1, "grid: cents-value histogram cumsum locating the exact top-1%% cutoff (tie band ranked partitioned-by-cents)"),
-    "operators/extended44.py": (2, "documented+grid: lift-curve ntile (docstring names approx_percentile cutpoints) + 10-row decile cumsum"),
+    "operators/extended44.py": (2, "grid: lift-curve score-histogram base cumsum over the bounded [0,1e6+boost] score grid (per-row rank is score-partitioned, ntile in closed form) + 10-row decile cumsum"),
     "operators/extended5.py": (10, "grid/top-k: token+bigram count grids, daily 7d window, user-agg ntile deciles (pareto/RFM), session-path grid, t-delta grid"),
     "operators/extended57.py": (1, "grid: distinct-score cumsum"),
     "operators/extended58.py": (1, "grid: per-part revenue cum-share"),
@@ -78,7 +78,7 @@ ORDERBY_ALLOWLIST = {
     "operators/extended86.py": (1, "grid: bigram-lift rank"),
     "operators/extended87.py": (1, "grid: log2 degree-bin CCDF"),
     "operators/extended89.py": (1, "grid: per-stratum largest-remainder rank"),
-    "operators/extended9.py": (1, "documented: Mann-Whitney midranks over the DISTINCT-value table (docstring)"),
+    "operators/extended9.py": (1, "grid: Mann-Whitney rank offsets via cumsum over the distinct-value grid (fact folds to count cells first)"),
     "operators/extended92.py": (2, "grid: daily MTD pacing rows"),
     "operators/extended93.py": (1, "top-k: margin-pick keeps rows pick<=SAMPLE_B constant"),
     "operators/extended95.py": (1, "grid: daily count rows"),

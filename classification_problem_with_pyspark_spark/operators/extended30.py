@@ -131,11 +131,11 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rank2("y"), "y")
         .select("user_id", "rx2", "ry2")
     )
-    n = F.count("*").over(Window.partitionBy())
-    m = ranked.select(
+    tot = ranked.agg(F.count("*").cast("long").alias("n_rows_total"))
+    m = ranked.crossJoin(F.broadcast(tot)).select(
         "rx2",
         "ry2",
-        (n + 1).alias("mean2"),
+        (F.col("n_rows_total") + 1).alias("mean2"),
     ).agg(
         F.count("*").alias("n"),
         F.sum(

@@ -136,18 +136,13 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.sum(F.expr(f"({w12}) * (w1 - w0)")).alias("phi12"))
     )
-    from pyspark.sql.window import Window
-
+    shares = phi.select(
+        F.expr(_CH_CASE).alias("channel"),
+        F.col("phi12").cast("long").alias("phi12"),
+    )
+    tot = shares.agg(F.sum("phi12").alias("total"))
     return (
-        phi.select(
-            F.expr(_CH_CASE).alias("channel"),
-            F.col("phi12").cast("long").alias("phi12"),
-        )
-        .select(
-            "channel",
-            "phi12",
-            F.sum("phi12").over(Window.partitionBy()).alias("total"),
-        )
+        shares.crossJoin(F.broadcast(tot))
         .select(
             "channel",
             "phi12",

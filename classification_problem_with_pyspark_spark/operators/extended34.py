@@ -202,8 +202,6 @@ def events_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: reuses the per-user cohort aggregate; stratification runs on
     the bounded score grid.
     """
-    from pyspark.sql.window import Window
-
     scored = _scored(spark, sf_dir)
     assigned = scored.select(
         "score",
@@ -225,17 +223,21 @@ def events_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_t") > 0) & (F.col("n_c") > 0))
     )
     eff = F.expr("(1000000 * conv_t) DIV n_t - (1000000 * conv_c) DIV n_c")
-    w = Window.partitionBy()
+    tot = strata.agg(
+        F.sum((F.col("n_t") + F.col("n_c")) * eff).alias("wsum"),
+        F.sum(F.col("n_t") + F.col("n_c")).alias("wtot"),
+    )
     return (
-        strata.select(
+        strata.crossJoin(F.broadcast(tot))
+        .select(
             "score",
             "n_t",
             "conv_t",
             "n_c",
             "conv_c",
             eff.cast("long").alias("effect_micro"),
-            F.sum((F.col("n_t") + F.col("n_c")) * eff).over(w).alias("wsum"),
-            F.sum(F.col("n_t") + F.col("n_c")).over(w).alias("wtot"),
+            "wsum",
+            "wtot",
         )
         .select(
             "score",

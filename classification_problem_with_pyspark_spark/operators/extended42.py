@@ -240,11 +240,11 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hl4_cents"),
     )
-    w_all = Window.partitionBy()
-    ranked_d = daily.select(
+    tot_days = daily.agg(F.count("*").cast("long").alias("n"))
+    ranked_d = daily.crossJoin(F.broadcast(tot_days)).select(
         "cents",
         F.row_number().over(Window.orderBy("cents")).alias("rn"),
-        F.count("*").over(w_all).alias("n"),
+        "n",
     )
     med = ranked_d.agg(
         F.count("*").cast("long").alias("n_days"),

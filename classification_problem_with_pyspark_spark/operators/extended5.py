@@ -1066,13 +1066,13 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_ord = Window.orderBy(F.desc("cnt"), F.asc("token"))
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = vocab.select(
+    tot = vocab.agg(F.sum("cnt").alias("total_cnt"))
+    ranked = vocab.crossJoin(F.broadcast(tot)).select(
         "token",
         "cnt",
         F.row_number().over(w_ord).alias("rank"),
         F.sum("cnt").over(w_cum).alias("cum_cnt"),
-        F.sum("cnt").over(w_all).alias("total_cnt"),
+        "total_cnt",
     )
     return ranked.where(F.col("rank") <= 20).select(
         "rank",

@@ -120,11 +120,10 @@ def agg_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy(F.desc("rev"), "part").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    w_all = Window.partitionBy()
-    ranked = per_part.select(
+    tot = per_part.agg(F.sum("rev").alias("tot_rev"))
+    ranked = per_part.crossJoin(F.broadcast(tot)).select(
         "*",
         F.sum("rev").over(w_cum).alias("cum_rev"),
-        F.sum("rev").over(w_all).alias("tot_rev"),
     )
     share = F.expr("(1000000 * cum_rev) DIV tot_rev")
     cv2 = F.expr("(1000000 * (n * q - s * s)) DIV (s * s)")

@@ -255,20 +255,27 @@ def ml_fairness_group_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * tp) DIV greatest(1, pos)").alias("tpr_micro"),
         F.expr("(1000000 * fp) DIV greatest(1, n - pos)").alias("fpr_micro"),
     )
-    w = Window.partitionBy()
-    return rates.select(
-        "grp",
-        "n",
-        F.col("sel_micro").cast("long").alias("sel_micro"),
-        F.col("tpr_micro").cast("long").alias("tpr_micro"),
-        F.col("fpr_micro").cast("long").alias("fpr_micro"),
-        (F.max("sel_micro").over(w) - F.min("sel_micro").over(w))
+    gaps = rates.agg(
+        (F.max("sel_micro") - F.min("sel_micro"))
         .cast("long")
         .alias("demographic_parity_gap_micro"),
         F.greatest(
-            F.max("tpr_micro").over(w) - F.min("tpr_micro").over(w),
-            F.max("fpr_micro").over(w) - F.min("fpr_micro").over(w),
+            F.max("tpr_micro") - F.min("tpr_micro"),
+            F.max("fpr_micro") - F.min("fpr_micro"),
         )
         .cast("long")
         .alias("equalized_odds_gap_micro"),
-    ).orderBy("grp")
+    )
+    return (
+        rates.crossJoin(F.broadcast(gaps))
+        .select(
+            "grp",
+            "n",
+            F.col("sel_micro").cast("long").alias("sel_micro"),
+            F.col("tpr_micro").cast("long").alias("tpr_micro"),
+            F.col("fpr_micro").cast("long").alias("fpr_micro"),
+            "demographic_parity_gap_micro",
+            "equalized_odds_gap_micro",
+        )
+        .orderBy("grp")
+    )

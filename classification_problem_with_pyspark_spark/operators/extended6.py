@@ -431,11 +431,12 @@ def agg_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.floor(F.col("o_totalprice") / 5000).cast("long").alias("bucket")
     ).agg(F.count("*").alias("cnt"))
     wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = buckets.select(
+    tot = buckets.agg(F.sum("cnt").alias("n_total"))
+    cum = buckets.crossJoin(F.broadcast(tot)).select(
         "bucket",
         "cnt",
         F.sum("cnt").over(wcum).alias("cum_cnt"),
-        F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
+        "n_total",
     )
     qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
     hit = (

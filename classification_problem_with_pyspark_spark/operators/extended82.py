@@ -111,24 +111,20 @@ def agg_simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a") * F.col("d") - F.col("b") * F.col("c") < 0, -1
     ).otherwise(0)
     signed = per.withColumn("sign", sign)
-    w_all = Window.partitionBy()
+    totals = per.agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.sum("c").alias("tc"),
+        F.sum("d").alias("td"),
+    )
     agg_sign = (
-        F.when(
-            F.sum("a").over(w_all) * F.sum("d").over(w_all)
-            - F.sum("b").over(w_all) * F.sum("c").over(w_all)
-            > 0,
-            1,
-        )
-        .when(
-            F.sum("a").over(w_all) * F.sum("d").over(w_all)
-            - F.sum("b").over(w_all) * F.sum("c").over(w_all)
-            < 0,
-            -1,
-        )
+        F.when(F.col("ta") * F.col("td") - F.col("tb") * F.col("tc") > 0, 1)
+        .when(F.col("ta") * F.col("td") - F.col("tb") * F.col("tc") < 0, -1)
         .otherwise(0)
     )
     return (
-        signed.select(
+        signed.crossJoin(F.broadcast(totals))
+        .select(
             "stratum",
             "a",
             "b",

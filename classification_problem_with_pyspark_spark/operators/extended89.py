@@ -178,16 +178,17 @@ def agg_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({SAMPLE_BUDGET} * n_h) DIV n").alias("base"),
         F.expr(f"({SAMPLE_BUDGET} * n_h) % n").alias("rem"),
     )
-    w_all = Window.partitionBy()
     w_rk = Window.orderBy(F.desc("rem"), "stratum")
+    base_tot = floored.agg(
+        (F.lit(SAMPLE_BUDGET) - F.sum("base")).cast("long").alias("deficit")
+    )
     return (
-        floored.select(
+        floored.crossJoin(F.broadcast(base_tot))
+        .select(
             "stratum",
             "n_h",
             "base",
-            (F.lit(SAMPLE_BUDGET) - F.sum("base").over(w_all))
-            .cast("long")
-            .alias("deficit"),
+            "deficit",
             F.row_number().over(w_rk).alias("rk"),
         )
         .select(

@@ -91,21 +91,11 @@ ORDERBY_ALLOWLIST = {
 }
 
 # file → (max allowed empty `Window.partitionBy()` sites, argument).
-# These are whole-relation count/sum windows feeding in-plan median/share
-# folds; every current site runs over a grid- or dim-sized relation (the
-# scale form for a true fact table is agg + crossJoin(broadcast)).
-EMPTY_PARTITIONBY_ALLOWLIST = {
-    "operators/extended30.py": (1, "n for midrank fold over distinct-value grid"),
-    "operators/extended32.py": (1, "global share over per-channel grid"),
-    "operators/extended34.py": (1, "global count over daily grid"),
-    "operators/extended42.py": (1, "n for median fold over pair/daily grids"),
-    "operators/extended5.py": (1, "global total for share-of-total over grid"),
-    "operators/extended58.py": (1, "global revenue total for cum-share grid"),
-    "operators/extended59.py": (1, "global rates for fairness gaps over group grid"),
-    "operators/extended6.py": (1, "global total over bucket grid"),
-    "operators/extended82.py": (1, "global counts over stratum grid"),
-    "operators/extended89.py": (1, "global total for largest-remainder grid"),
-}
+# EMPTY since round 7: every former whole-relation count/sum window was
+# rewritten as agg + crossJoin(broadcast) — the form that never funnels
+# its input through one WindowExec task. New sites fail CI; prefer the
+# agg + broadcast form.
+EMPTY_PARTITIONBY_ALLOWLIST: dict[str, tuple[int, str]] = {}
 
 _ORDERBY = "Window.orderBy("
 _EMPTY_PB = re.compile(r"Window\.partitionBy\(\)")

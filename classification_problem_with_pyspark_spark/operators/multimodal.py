@@ -40,19 +40,20 @@ def decode_media(payload: bytes, media_type: str) -> "np.ndarray":
     """REAL decode path. Formats whose codecs need no external library
     are decoded for real, in pure numpy, by operators/multimodal_codec.py
     (round 5: uncompressed 24-bit BMP, PCM16 WAV; round 6: 8-bit RGB PNG
-    — DEFLATE comes from the stdlib zlib — all exactly oracle-checked
-    through an encode→decode round trip). Remaining compressed formats
+    — DEFLATE comes from the stdlib zlib; round 7: BI_RLE8 8-bit
+    palettized BMP with the full escape grammar — all exactly checked
+    through encode→decode round trips). Remaining ENTROPY-coded formats
     (JPEG/MP3/FLAC/...) still need a codec library absent from this
     container; that seam is kept explicit below for a production build
     to fill in."""
     from classification_problem_with_pyspark_spark.operators.multimodal_codec import (
-        decode_bmp24,
+        decode_bmp,
         decode_png_rgb8,
         decode_wav_pcm16,
     )
 
     if media_type == "image/bmp":
-        return decode_bmp24(payload)
+        return decode_bmp(payload)
     if media_type == "image/png":
         return decode_png_rgb8(payload)
     if media_type in ("audio/wav", "audio/x-wav"):

@@ -109,6 +109,139 @@ def decode_bmp24(data: bytes) -> np.ndarray:
     return rgb[::-1] if bottom_up else rgb
 
 
+def encode_bmp_rle8(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Serialize an (h, w) uint8 palette-index image as a real BI_RLE8
+    BMP (round 7): 256-entry BGRA color table, bottom-up rows, encoded
+    (count, index) packets for repeats, ABSOLUTE-mode packets with their
+    mandatory word-alignment pad for literal stretches ≥ 3 (so any
+    decoder that skips the pad rule fails loudly), end-of-line after
+    every row and end-of-bitmap last."""
+    if idx.ndim != 2 or idx.dtype != np.uint8:
+        raise ValueError("encode_bmp_rle8 expects (h, w) uint8 indices")
+    if palette.shape != (256, 3) or palette.dtype != np.uint8:
+        raise ValueError("encode_bmp_rle8 expects a (256, 3) uint8 RGB palette")
+    h, w = idx.shape
+    if h == 0 or w == 0:
+        raise ValueError("encode_bmp_rle8 expects a non-empty image")
+    out = bytearray()
+    for r, row in enumerate(idx[::-1]):  # bottom-up is the file layout
+        i = 0
+        runs = []
+        while i < w:
+            j = i
+            while j < w and row[j] == row[i]:
+                j += 1
+            runs.append((int(row[i]), j - i))
+            i = j
+        k = 0
+        while k < len(runs):
+            if runs[k][1] == 1:
+                m = k
+                while m < len(runs) and runs[m][1] == 1:
+                    m += 1
+                lit = [v for v, _ in runs[k:m]]
+                p = 0
+                while p < len(lit):
+                    c = min(len(lit) - p, 255)
+                    if c >= 3:
+                        out += bytes((0, c)) + bytes(lit[p : p + c])
+                        if c % 2:
+                            out += b"\x00"  # absolute packets pad to words
+                    else:
+                        for v in lit[p : p + c]:
+                            out += bytes((1, v))
+                    p += c
+                k = m
+            else:
+                v, n = runs[k]
+                while n > 0:
+                    c = min(n, 255)
+                    out += bytes((c, v))
+                    n -= c
+                k += 1
+        out += b"\x00\x00" if r < h - 1 else b"\x00\x01"  # EOL / EOF
+    quads = np.zeros((256, 4), dtype=np.uint8)
+    quads[:, :3] = palette[:, ::-1]  # RGB → BGR0 quads
+    data_off = _BMP_HEADER_LEN + 1024
+    file_len = data_off + len(out)
+    file_header = struct.pack("<2sIHHI", b"BM", file_len, 0, 0, data_off)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(out), 2835, 2835, 256, 0
+    )
+    return file_header + info_header + quads.tobytes() + bytes(out)
+
+
+def decode_bmp_rle8(data: bytes) -> np.ndarray:
+    """Parse a BI_RLE8 8-bit BMP back to an (h, w, 3) uint8 RGB array
+    (top-down): header validation, 256-entry BGRA palette read, and the
+    full RLE escape grammar — encoded runs, end-of-line (0,0),
+    end-of-bitmap (0,1), delta (0,2,dx,dy), and absolute mode
+    (0,n≥3,…) with its word-alignment pad. Rejects runs past the row
+    end and cursor moves past the image."""
+    if len(data) < _BMP_HEADER_LEN + 1024:
+        raise ValueError("bmp: truncated header or palette")
+    magic, _, _, _, data_off = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("bmp: bad magic")
+    (hdr_size, w, h, planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("bmp: unsupported header")
+    if bpp != 8 or compression != 1:
+        raise ValueError("bmp: not BI_RLE8 8-bit")
+    if w <= 0 or h <= 0:  # top-down (h<0) is invalid with RLE per spec
+        raise ValueError("bmp: bad dimensions")
+    quads = np.frombuffer(data, dtype=np.uint8, count=1024, offset=14 + hdr_size)
+    palette = quads.reshape(256, 4)[:, :3][:, ::-1].copy()  # BGR0 → RGB
+    idx = np.zeros((h, w), dtype=np.uint8)  # row 0 = bottom scanline
+    x = y = 0
+    pos = data_off
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("bmp: RLE stream ended without end-of-bitmap")
+        b0, b1 = data[pos], data[pos + 1]
+        pos += 2
+        if b0 > 0:  # encoded run
+            if y >= h or x + b0 > w:
+                raise ValueError("bmp: RLE run past row end")
+            idx[y, x : x + b0] = b1
+            x += b0
+        elif b1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif b1 == 1:  # end of bitmap
+            break
+        elif b1 == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("bmp: truncated delta escape")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("bmp: delta moves cursor past image")
+        else:  # absolute mode: b1 literal indices, word-aligned
+            c = b1
+            if y >= h or x + c > w:
+                raise ValueError("bmp: absolute run past row end")
+            if pos + c > len(data):
+                raise ValueError("bmp: truncated absolute packet")
+            idx[y, x : x + c] = np.frombuffer(data, np.uint8, c, offset=pos)
+            x += c
+            pos += c + (c % 2)
+    return palette[idx[::-1]]  # bottom-up → top-down, indices → RGB
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Dispatch on biBitCount/biCompression: BI_RGB 24-bit (round 5)
+    or BI_RLE8 8-bit (round 7); anything else raises."""
+    if len(data) < _BMP_HEADER_LEN:
+        raise ValueError("bmp: truncated header")
+    (_, _, _, _, bpp, compression) = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp == 8 and compression == 1:
+        return decode_bmp_rle8(data)
+    return decode_bmp24(data)
+
+
 # ---------------------------------------------------------------------------
 # WAV: RIFF/WAVE, PCM16 mono little-endian, proper chunk walk
 # ---------------------------------------------------------------------------

@@ -283,3 +283,89 @@ def test_png_rejects_oversized_inflate():
     )
     with pytest.raises(ValueError, match="exceeds IHDR-implied"):
         decode_png_rgb8(data)
+
+
+# ---------------------------------------------------------------------------
+# BMP BI_RLE8 (round 7): palette + full RLE escape grammar
+# ---------------------------------------------------------------------------
+
+from classification_problem_with_pyspark_spark.operators.multimodal_codec import (  # noqa: E402
+    decode_bmp,
+    decode_bmp_rle8,
+    encode_bmp_rle8,
+)
+
+
+def _rand_palette(rng):
+    return rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 17),
+    w=st.integers(1, 17),
+    seed=st.integers(0, 2**31 - 1),
+    cardinality=st.integers(2, 8),
+)
+def test_bmp_rle8_roundtrip(h, w, seed, cardinality):
+    # low index cardinality → long runs AND literal stretches, so both
+    # encoded and absolute packets appear across the example set
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, cardinality, size=(h, w), dtype=np.uint8)
+    pal = _rand_palette(rng)
+    out = decode_bmp_rle8(encode_bmp_rle8(idx, pal))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_bmp_rle8_absolute_mode_is_exercised():
+    # an all-distinct row forces absolute packets (with the odd-length pad)
+    idx = np.arange(15, dtype=np.uint8).reshape(1, 15)
+    data = encode_bmp_rle8(idx, _rand_palette(np.random.default_rng(0)))
+    stream = data[14 + 40 + 1024 :]
+    assert stream[0] == 0 and stream[1] == 15  # absolute packet, count 15
+    assert len(stream) == 2 + 15 + 1 + 2  # payload + pad byte + EOF
+
+
+def test_bmp_rle8_delta_escape_decodes():
+    # hand-crafted stream: pixel run, delta (dx=2, dy=1), run, EOF —
+    # skipped cells stay index 0
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[5] = (10, 20, 30)
+    pal[7] = (40, 50, 60)
+    stream = bytes((2, 5, 0, 2, 2, 1, 3, 7, 0, 1))
+    quads = np.zeros((256, 4), dtype=np.uint8)
+    quads[:, :3] = pal[:, ::-1]
+    data_off = 14 + 40 + 1024
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(stream), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, 7, 2, 1, 8, 1, len(stream), 0, 0, 256, 0)
+    out = decode_bmp_rle8(header + info + quads.tobytes() + stream)
+    # bottom row: two 5s then skip; top row: three 7s starting at x=4
+    assert np.array_equal(out[1, 0], pal[5]) and np.array_equal(out[1, 1], pal[5])
+    assert np.array_equal(out[0, 4], pal[7]) and np.array_equal(out[0, 6], pal[7])
+    assert np.array_equal(out[1, 2], pal[0])
+
+
+@pytest.mark.parametrize(
+    "mutate, err",
+    [
+        (lambda s: s[:-2], "without end-of-bitmap"),  # EOF stripped
+        (lambda s: bytes((200, 1)) + s, "past row end"),  # run overflows row
+    ],
+)
+def test_bmp_rle8_rejects_malformed(mutate, err):
+    idx = np.zeros((2, 4), dtype=np.uint8)
+    data = bytearray(encode_bmp_rle8(idx, _rand_palette(np.random.default_rng(1))))
+    off = 14 + 40 + 1024
+    data = bytes(data[:off]) + mutate(bytes(data[off:]))
+    with pytest.raises(ValueError, match=err):
+        decode_bmp_rle8(data)
+
+
+def test_decode_bmp_dispatches_on_compression():
+    rng = np.random.default_rng(2)
+    pix = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp24(pix)), pix)
+    idx = rng.integers(0, 4, size=(3, 4), dtype=np.uint8)
+    pal = _rand_palette(rng)
+    assert np.array_equal(decode_bmp(encode_bmp_rle8(idx, pal)), pal[idx])

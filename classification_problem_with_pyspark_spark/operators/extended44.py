@@ -294,7 +294,11 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"THEN (rn - 1) DIV (n DIV {LIFT_K} + 1) + 1 "
                 f"ELSE n % {LIFT_K} "
                 f"+ (rn - (n % {LIFT_K}) * (n DIV {LIFT_K} + 1) - 1) "
-                f"DIV (n DIV {LIFT_K}) + 1 END AS INT)"
+                # greatest(1, ·): when n < k the WHEN branch covers every
+                # row so this divisor is never used with n DIV k = 0, but
+                # guard it anyway so ANSI mode can never DIVIDE_BY_ZERO if
+                # the branches are ever reordered.
+                f"DIV greatest(1, n DIV {LIFT_K}) + 1 END AS INT)"
             ),
         )
         .select("is_pos", "score_micro", "decile")

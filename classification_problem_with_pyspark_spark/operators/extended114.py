@@ -28,12 +28,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.operators.extended27 import (
     _SCORED_SQL,
     _scored,
 )
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -100,11 +100,8 @@ def ml_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").cast("long").alias("p"),
         F.count("*").cast("long").alias("c"),
     )
-    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
-    cum = grid.select(
-        "p",
-        F.sum("p").over(w).alias("tp"),
-        F.sum("c").over(w).alias("pred"),
+    cum = grid_cumsum(
+        grid, [F.desc("score")], [("tp", "p"), ("pred", "c")], keep=["p"]
     )
     folded = cum.agg(
         F.count("*").cast("long").alias("n_thresholds"),

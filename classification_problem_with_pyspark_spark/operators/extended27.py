@@ -33,8 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -146,14 +146,8 @@ def ml_roc_curve_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").alias("p"),
         F.sum(1 - F.col("label")).alias("n"),
     )
-    w = (
-        Window.orderBy(F.desc("score"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = grid.select(
-        "score",
-        F.sum("p").over(w).alias("tp"),
-        F.sum("n").over(w).alias("fp"),
+    cum = grid_cumsum(
+        grid, [F.desc("score")], [("tp", "p"), ("fp", "n")], keep=["score"]
     )
     return (
         cum.crossJoin(F.broadcast(tot))
@@ -216,15 +210,12 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c"),
         F.sum("label").alias("p"),
     )
-    w = (
-        Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = grid.select(
-        "score",
-        "c",
-        "p",
-        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("before"),
+    cum = grid_cumsum(
+        grid,
+        ["score"],
+        [("before", "c")],
+        keep=["score", "c", "p"],
+        frame_end=-1,
     )
     agg = cum.agg(
         F.sum(

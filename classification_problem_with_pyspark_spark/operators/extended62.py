@@ -30,13 +30,13 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.operators.extended27 import (
     _SCORED_SQL,
     _scored,
 )
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -175,13 +175,8 @@ def ml_cost_sensitive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").cast("long").alias("p"),
         F.sum(1 - F.col("label")).cast("long").alias("n"),
     )
-    w = Window.orderBy(F.desc("score")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = grid.select(
-        "score",
-        F.sum("p").over(w).alias("tp"),
-        F.sum("n").over(w).alias("fp"),
+    cum = grid_cumsum(
+        grid, [F.desc("score")], [("tp", "p"), ("fp", "n")], keep=["score"]
     )
     costs = cum.crossJoin(F.broadcast(tot)).select(
         F.col("score").alias("threshold"),

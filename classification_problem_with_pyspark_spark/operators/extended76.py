@@ -33,6 +33,7 @@ from classification_problem_with_pyspark_spark.operators.extended27 import (
     _SCORED_SQL,
     _scored,
 )
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -186,11 +187,8 @@ def ml_ks_separation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").cast("long").alias("p"),
         F.sum(1 - F.col("label")).cast("long").alias("q"),
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
-    cum = grid.select(
-        "score",
-        F.sum("p").over(w).alias("c1"),
-        F.sum("q").over(w).alias("c0"),
+    cum = grid_cumsum(
+        grid, ["score"], [("c1", "p"), ("c0", "q")], keep=["score"]
     )
     gaps = cum.crossJoin(F.broadcast(tot)).select(
         "score",

@@ -48,12 +48,11 @@ ORDERBY_ALLOWLIST = {
     "operators/extended101.py": (1, "grid: Borda points per event_type"),
     "operators/extended108.py": (2, "grid: distinct-value histogram cumsums for exact norm median/MAD (post-groupBy value grid, not the vector relation); docstring names the sketch form at 100 TB"),
     "operators/extended109.py": (1, "grid: cents histogram cumsum"),
-    "operators/extended114.py": (1, "grid: distinct-score cumsum"),
+    "plans/bounded_grid.py": (1, "grid: the SHARED distinct-value-grid cumsum helper — boundedness is asserted in code (analyzed plan must contain Aggregate/Deduplicate), not argued in prose; ROC/Youden/cost/KS/PR-AUC/rank-sum sites route here"),
     "operators/extended115.py": (1, "top-k: Hill estimator keeps rows rn<=k+1, k constant"),
     "operators/extended117.py": (1, "top-k/grid: split-conformal quantile rank over the calibration SUBSET"),
     "operators/extended17.py": (4, "grid: distinct-cents + Lorenz deciles; docstring names approx_percentile cutpoints at scale"),
     "operators/extended23.py": (2, "grid: Kaplan-Meier distinct event-time rows"),
-    "operators/extended27.py": (2, "grid: distinct-score ROC/calibration rows"),
     "operators/extended30.py": (1, "grid: Spearman midrank over per-user agg then distinct values"),
     "operators/extended31.py": (1, "grid: daily runs-test sequence"),
     "operators/extended38.py": (1, "grid: bucket-boundary stitch lag over non-empty 2^20-key buckets (per-key lag is partitioned by bucket)"),
@@ -63,14 +62,12 @@ ORDERBY_ALLOWLIST = {
     "operators/extended43.py": (1, "grid: cents-value histogram cumsum locating the exact top-1%% cutoff (tie band ranked partitioned-by-cents)"),
     "operators/extended44.py": (2, "grid: lift-curve score-histogram base cumsum over the bounded [0,1e6+boost] score grid (per-row rank is score-partitioned, ntile in closed form) + 10-row decile cumsum"),
     "operators/extended5.py": (10, "grid/top-k: token+bigram count grids, daily 7d window, user-agg ntile deciles (pareto/RFM), session-path grid, t-delta grid"),
-    "operators/extended57.py": (1, "grid: distinct-score cumsum"),
     "operators/extended58.py": (1, "grid: per-part revenue cum-share"),
     "operators/extended6.py": (6, "grid/dim: embedding-dim variance (|dims| rows), bucket cumsum, CMS audit top rank over custkey agg, growth grid, doc ntile + 10-row cumsum"),
-    "operators/extended62.py": (1, "grid: distinct-score cumsum"),
     "operators/extended66.py": (3, "grid: business-day calendar (|days| rows); RLE audit bucket-boundary stitch (per-row lag is bucket-partitioned) and (rf,ls) block grid"),
     "operators/extended7.py": (1, "grid: BPE pair-frequency argmax"),
     "operators/extended73.py": (1, "grid: part-period revenue deciles"),
-    "operators/extended76.py": (2, "grid: distinct-score KS/gap rows"),
+    "operators/extended76.py": (1, "grid: KS argmax rank over the distinct-score gap rows (cumsum itself now via plans/bounded_grid.grid_cumsum)"),
     "operators/extended81.py": (3, "grid: per-source capacity rows (water-filling)"),
     "operators/extended83.py": (1, "grid: daily SLO budget cumsum"),
     "operators/extended84.py": (1, "grid: cursor-page first_key rows (|pages|)"),

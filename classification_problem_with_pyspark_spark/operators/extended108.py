@@ -27,9 +27,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.functions.vector import norm
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -125,13 +125,13 @@ def emb_norm_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value whose cumulative count reaches k (vec_id tie-breaks in the
     # old full-relation rank were between rows of EQUAL value, so the
     # selected value is identical).
-    w_cum = Window.orderBy("norm_micro").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     med = (
-        norms.groupBy("norm_micro")
-        .agg(F.count("*").alias("c"))
-        .withColumn("cum", F.sum("c").over(w_cum))
+        grid_cumsum(
+            norms.groupBy("norm_micro").agg(F.count("*").alias("c")),
+            ["norm_micro"],
+            [("cum", "c")],
+            keep=["norm_micro", "c"],
+        )
         .crossJoin(F.broadcast(tot))
         .where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
         .agg(F.min("norm_micro").cast("long").alias("median_norm"))
@@ -141,11 +141,13 @@ def emb_norm_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm_micro",
         F.abs(F.col("norm_micro") - F.col("median_norm")).alias("dev"),
     )
-    w_dev_cum = Window.orderBy("dev").rowsBetween(Window.unboundedPreceding, 0)
     mad = (
-        devs.groupBy("dev")
-        .agg(F.count("*").alias("c"))
-        .withColumn("cum", F.sum("c").over(w_dev_cum))
+        grid_cumsum(
+            devs.groupBy("dev").agg(F.count("*").alias("c")),
+            ["dev"],
+            [("cum", "c")],
+            keep=["dev", "c"],
+        )
         .crossJoin(F.broadcast(tot))
         .where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
         .agg(F.min("dev").cast("long").alias("mad_norm"))

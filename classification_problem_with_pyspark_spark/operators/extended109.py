@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -243,11 +244,11 @@ def ml_psi_feature_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderdate") < PSI_SPLIT, 0).otherwise(1).alias("period"),
     )
     ref = o.where(F.col("period") == 0)
-    w_hist = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    hist = (
-        ref.groupBy("cents")
-        .agg(F.count("*").alias("c"))
-        .select("cents", F.sum("c").over(w_hist).alias("cum"))
+    hist = grid_cumsum(
+        ref.groupBy("cents").agg(F.count("*").alias("c")),
+        ["cents"],
+        [("cum", "c")],
+        keep=["cents"],
     )
     na = ref.agg(F.count("*").alias("na"))
     edges = hist.crossJoin(F.broadcast(na)).agg(

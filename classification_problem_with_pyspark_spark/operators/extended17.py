@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -170,14 +171,18 @@ def agg_lorenz_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("cents").cast("long").alias("s")
     )
     tot = o.agg(F.sum("cents").cast("long").alias("t"))
-    wcum = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        per.crossJoin(F.broadcast(tot))
+        grid_cumsum(
+            per.crossJoin(F.broadcast(tot)),
+            ["dec"],
+            [("cum_s", "s")],
+            keep=["dec", "n", "s", "t"],
+        )
         .select(
             F.col("dec").cast("long").alias("decile"),
             "n",
             F.col("s").alias("sum_cents"),
-            F.floor(1000000.0 * F.sum("s").over(wcum) / F.col("t"))
+            F.floor(1000000.0 * F.col("cum_s") / F.col("t"))
             .cast("long")
             .alias("cum_share_micro"),
         )

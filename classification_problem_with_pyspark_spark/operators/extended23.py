@@ -28,8 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -269,15 +269,13 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("ev")).alias("n_censored"),
         F.count("*").alias("n_arrived"),
     )
-    w_risk = (
-        Window.orderBy("t_hours")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    risk = grid.select(
-        "t_hours",
-        "n_events",
-        "n_censored",
-        F.sum("n_arrived").over(w_risk).alias("n_risk"),
+    # at-risk count = arrivals at t_hours >= current: the reverse cumsum
+    # is the forward cumsum under DESC order (t_hours is distinct post-agg)
+    risk = grid_cumsum(
+        grid,
+        [F.desc("t_hours")],
+        [("n_risk", "n_arrived")],
+        keep=["t_hours", "n_events", "n_censored"],
     )
     steps = risk.where(F.col("n_events") > 0).select(
         "t_hours",
@@ -286,21 +284,20 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_censored",
         F.expr("(1000000 * n_events) DIV n_risk").alias("hazard_micro"),
     )
-    w_cum = (
-        Window.orderBy("t_hours")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        steps.select(
+        grid_cumsum(
+            steps,
+            ["t_hours"],
+            [("na_raw", "hazard_micro")],
+            keep=["t_hours", "n_risk", "n_events", "n_censored", "hazard_micro"],
+        )
+        .select(
             "t_hours",
             "n_risk",
             "n_events",
             "n_censored",
             "hazard_micro",
-            F.sum("hazard_micro")
-            .over(w_cum)
-            .cast("long")
-            .alias("na_cum_hazard_micro"),
+            F.col("na_raw").cast("long").alias("na_cum_hazard_micro"),
         )
         .orderBy("t_hours")
     )

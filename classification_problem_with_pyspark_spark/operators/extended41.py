@@ -25,8 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -165,11 +165,10 @@ def llm_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_batch = first_seen.groupBy(
         F.col("first_batch").alias("batch")
     ).agg(F.count("*").alias("n_new"))
-    w = Window.orderBy("batch").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    return (
+        grid_cumsum(
+            per_batch, ["batch"], [("cum_raw", "n_new")], keep=["batch", "n_new"]
+        )
+        .select("batch", "n_new", F.col("cum_raw").cast("long").alias("cum_vocab"))
+        .orderBy("batch")
     )
-    return per_batch.select(
-        "batch",
-        "n_new",
-        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
-    ).orderBy("batch")

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -216,13 +217,12 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global rank of any pair is base + its bucket-partitioned
     # row_number (w2 ties share a value, so tie order cannot change
     # the selected value).
-    w_base = Window.orderBy("bk").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    hist = (
-        walsh.groupBy("bk")
-        .agg(F.count("*").alias("c"))
-        .withColumn("base", F.coalesce(F.sum("c").over(w_base), F.lit(0)))
+    hist = grid_cumsum(
+        walsh.groupBy("bk").agg(F.count("*").alias("c")),
+        ["bk"],
+        [("base", "c")],
+        keep=["bk", "c"],
+        frame_end=-1,
     )
     tot_pairs = hist.agg(F.sum("c").cast("long").alias("n"))
     w_in = Window.partitionBy("bk").orderBy("w2")

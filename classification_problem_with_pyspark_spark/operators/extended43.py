@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -108,14 +109,10 @@ def agg_tail_attribution_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     hist = v.groupBy("cents").agg(F.count("*").alias("c"))
-    w_cum = Window.orderBy(F.desc("cents")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     tot_n = hist.agg(F.sum("c").cast("long").alias("n"))
-    cum = (
-        hist.withColumn("cum", F.sum("c").over(w_cum))
-        .crossJoin(F.broadcast(tot_n))
-    )
+    cum = grid_cumsum(
+        hist, [F.desc("cents")], [("cum", "c")], keep=["cents", "c"]
+    ).crossJoin(F.broadcast(tot_n))
     # Cutoff = largest cents value whose cumulative (desc) count reaches
     # k = n DIV 100; m = how many of the cutoff-value ties are inside
     # the top-k under the (cents DESC, event_id) total order.

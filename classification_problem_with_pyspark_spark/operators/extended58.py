@@ -30,8 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -117,13 +117,12 @@ def agg_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q"),
     )
-    w_cum = Window.orderBy(F.desc("rev"), "part").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     tot = per_part.agg(F.sum("rev").alias("tot_rev"))
-    ranked = per_part.crossJoin(F.broadcast(tot)).select(
-        "*",
-        F.sum("rev").over(w_cum).alias("cum_rev"),
+    ranked = grid_cumsum(
+        per_part.crossJoin(F.broadcast(tot)),
+        [F.desc("rev"), "part"],
+        [("cum_rev", "rev")],
+        keep=["*"],
     )
     share = F.expr("(1000000 * cum_rev) DIV tot_rev")
     cv2 = F.expr("(1000000 * (n * q - s * s)) DIV (s * s)")

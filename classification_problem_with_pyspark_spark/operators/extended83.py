@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.functions.vector import dot, norm
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -278,13 +279,11 @@ def events_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("errors"),
         )
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    ledger = daily.select(
-        "d",
-        "n",
-        "errors",
-        F.sum("n").over(w).alias("cum_n"),
-        F.sum("errors").over(w).alias("cum_errors"),
+    ledger = grid_cumsum(
+        daily,
+        ["d"],
+        [("cum_n", "n"), ("cum_errors", "errors")],
+        keep=["d", "n", "errors"],
     )
     ppm_fail = 1_000_000 - SLO_PPM
     return ledger.select(

@@ -27,8 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -226,10 +226,13 @@ def graph_degree_ccdf_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes")
     )
     tot = binned.agg(F.sum("n_nodes").cast("long").alias("n"))
-    w = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, 0)
     return (
-        binned.crossJoin(F.broadcast(tot))
-        .withColumn("cum_nodes", F.sum("n_nodes").over(w))
+        grid_cumsum(
+            binned.crossJoin(F.broadcast(tot)),
+            [F.desc("b")],
+            [("cum_nodes", "n_nodes")],
+            keep=["*"],
+        )
         .select(
             F.col("b").cast("long").alias("log2_bin"),
             F.expr("CAST(shiftleft(1, b) AS BIGINT)").alias("bin_lo"),

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import TMP_DIR, load
 
@@ -91,11 +92,14 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
     ).select("event_type", "value")
     cells = s.groupBy("value", "event_type").agg(F.count("*").alias("cc"))
-    w_vals = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     vgrid = (
-        cells.groupBy("value")
-        .agg(F.sum("cc").alias("ct"))
-        .withColumn("cum_prev", F.coalesce(F.sum("ct").over(w_vals), F.lit(0)))
+        grid_cumsum(
+            cells.groupBy("value").agg(F.sum("cc").alias("ct")),
+            ["value"],
+            [("cum_prev", "ct")],
+            keep=["value", "ct"],
+            frame_end=-1,
+        )
         .select(
             "value",
             (2 * F.col("cum_prev") + F.col("ct") + 1)

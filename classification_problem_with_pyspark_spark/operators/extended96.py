@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -119,16 +120,12 @@ def llm_budgeted_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame
         "*",
         F.expr("(1000000 * value_distinct) DIV n_tokens").alias("density_micro"),
     )
-    w_grid = Window.orderBy(F.desc("density_micro")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    base = (
-        ranked.groupBy("density_micro")
-        .agg(F.sum("n_tokens").alias("tsum"))
-        .withColumn(
-            "base_tokens", F.coalesce(F.sum("tsum").over(w_grid), F.lit(0))
-        )
-        .select("density_micro", "base_tokens")
+    base = grid_cumsum(
+        ranked.groupBy("density_micro").agg(F.sum("n_tokens").alias("tsum")),
+        [F.desc("density_micro")],
+        [("base_tokens", "tsum")],
+        keep=["density_micro"],
+        frame_end=-1,
     )
     w_val = (
         Window.partitionBy("density_micro")

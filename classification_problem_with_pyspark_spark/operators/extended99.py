@@ -27,8 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -137,13 +137,11 @@ def events_group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("c1"),
     )
-    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
-    looks = weekly.select(
-        "wk",
-        F.sum("n0").over(w).alias("cn0"),
-        F.sum("n1").over(w).alias("cn1"),
-        F.sum("c0").over(w).alias("cc0"),
-        F.sum("c1").over(w).alias("cc1"),
+    looks = grid_cumsum(
+        weekly,
+        ["wk"],
+        [("cn0", "n0"), ("cn1", "n1"), ("cc0", "c0"), ("cc1", "c1")],
+        keep=["wk"],
     )
     p_pool = (F.col("cc0") + F.col("cc1")).cast("double") / (
         F.col("cn0") + F.col("cn1")

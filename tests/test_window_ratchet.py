@@ -46,42 +46,32 @@ PKG = Path(__file__).resolve().parent.parent / "classification_problem_with_pysp
 ORDERBY_ALLOWLIST = {
     "operators/events.py": (1, "grid: weekly growth-accounting rows"),
     "operators/extended101.py": (1, "grid: Borda points per event_type"),
-    "operators/extended108.py": (2, "grid: distinct-value histogram cumsums for exact norm median/MAD (post-groupBy value grid, not the vector relation); docstring names the sketch form at 100 TB"),
-    "operators/extended109.py": (1, "grid: cents histogram cumsum"),
-    "plans/bounded_grid.py": (1, "grid: the SHARED distinct-value-grid cumsum helper — boundedness is asserted in code (analyzed plan must contain Aggregate/Deduplicate), not argued in prose; ROC/Youden/cost/KS/PR-AUC/rank-sum sites route here"),
+    "plans/bounded_grid.py": (1, "grid: the SHARED distinct-value-grid cumsum helper — boundedness is asserted in code (analyzed plan must contain Aggregate/Deduplicate), not argued in prose; 21 former per-file sites (ROC/Youden/cost/KS/PR-AUC/rank-sum, norm median/MAD, PSI edges, vocab growth, HL base ranks, top-1%% cutoff, ABC share, CCDF, Mann-Whitney prev-rank, sequential looks, Lorenz share, Kaplan-Meier risk+hazard, SLO ledger, greedy-budget base) route here"),
     "operators/extended115.py": (1, "top-k: Hill estimator keeps rows rn<=k+1, k constant"),
     "operators/extended117.py": (1, "top-k/grid: split-conformal quantile rank over the calibration SUBSET"),
-    "operators/extended17.py": (4, "grid: distinct-cents + Lorenz deciles; docstring names approx_percentile cutpoints at scale"),
-    "operators/extended23.py": (2, "grid: Kaplan-Meier distinct event-time rows"),
+    "operators/extended17.py": (3, "grid: distinct-cents cum+lag pair and decile ntile (Lorenz cum-share now via plans/bounded_grid.grid_cumsum)"),
     "operators/extended30.py": (1, "grid: Spearman midrank over per-user agg then distinct values"),
     "operators/extended31.py": (1, "grid: daily runs-test sequence"),
     "operators/extended38.py": (1, "grid: bucket-boundary stitch lag over non-empty 2^20-key buckets (per-key lag is partitioned by bucket)"),
     "operators/extended4.py": (3, "documented: z-order OPTIMIZE — the write job's one legitimate global sort; docstring names broadcast quantile boundaries at scale"),
-    "operators/extended41.py": (1, "grid: per-batch first-seen counts"),
-    "operators/extended42.py": (2, "grid: Hodges-Lehmann bucket-histogram base cumsum (pair ranks are bucket-partitioned) and daily medians"),
-    "operators/extended43.py": (1, "grid: cents-value histogram cumsum locating the exact top-1%% cutoff (tie band ranked partitioned-by-cents)"),
+    "operators/extended42.py": (1, "grid: daily medians (Hodges-Lehmann bucket-histogram base cumsum now via plans/bounded_grid.grid_cumsum)"),
     "operators/extended44.py": (2, "grid: lift-curve score-histogram base cumsum over the bounded [0,1e6+boost] score grid (per-row rank is score-partitioned, ntile in closed form) + 10-row decile cumsum"),
     "operators/extended5.py": (10, "grid/top-k: token+bigram count grids, daily 7d window, user-agg ntile deciles (pareto/RFM), session-path grid, t-delta grid"),
-    "operators/extended58.py": (1, "grid: per-part revenue cum-share"),
     "operators/extended6.py": (6, "grid/dim: embedding-dim variance (|dims| rows), bucket cumsum, CMS audit top rank over custkey agg, growth grid, doc ntile + 10-row cumsum"),
     "operators/extended66.py": (3, "grid: business-day calendar (|days| rows); RLE audit bucket-boundary stitch (per-row lag is bucket-partitioned) and (rf,ls) block grid"),
     "operators/extended7.py": (1, "grid: BPE pair-frequency argmax"),
     "operators/extended73.py": (1, "grid: part-period revenue deciles"),
     "operators/extended76.py": (1, "grid: KS argmax rank over the distinct-score gap rows (cumsum itself now via plans/bounded_grid.grid_cumsum)"),
     "operators/extended81.py": (3, "grid: per-source capacity rows (water-filling)"),
-    "operators/extended83.py": (1, "grid: daily SLO budget cumsum"),
     "operators/extended84.py": (1, "grid: cursor-page first_key rows (|pages|)"),
     "operators/extended85.py": (1, "grid: per-supplier Bradley-Terry strengths"),
     "operators/extended86.py": (1, "grid: bigram-lift rank"),
-    "operators/extended87.py": (1, "grid: log2 degree-bin CCDF"),
     "operators/extended89.py": (1, "grid: per-stratum largest-remainder rank"),
-    "operators/extended9.py": (1, "grid: Mann-Whitney rank offsets via cumsum over the distinct-value grid (fact folds to count cells first)"),
     "operators/extended92.py": (2, "grid: daily MTD pacing rows"),
     "operators/extended93.py": (1, "top-k: margin-pick keeps rows pick<=SAMPLE_B constant"),
     "operators/extended95.py": (1, "grid: daily count rows"),
-    "operators/extended96.py": (3, "grid: greedy token-budget base cumsum over the bounded [0,1e6] density grid (per-row prefix is density-partitioned), daily grid, score_per_df grid"),
+    "operators/extended96.py": (2, "grid: daily grid + score_per_df grid ranks (the density-grid base cumsum now via plans/bounded_grid.grid_cumsum)"),
     "operators/extended98.py": (2, "grid: per-supplier version rows"),
-    "operators/extended99.py": (1, "grid: weekly looks cumsum"),
     "operators/ml2.py": (1, "dim: distinct event_type id assignment"),
     "operators/relational.py": (1, "dim: supplier top-n"),
     "operators/windows.py": (1, "documented: ntile over customer dim; docstring names approx_percentile at scale"),

@@ -410,10 +410,13 @@ def decode_png_rgb8(data: bytes) -> np.ndarray:
     # Bound the inflate by the IHDR-implied size so a hostile payload with
     # a huge compression ratio cannot balloon memory: h filtered scanlines
     # of (1 filter byte + w*3 samples) is the ONLY valid output length.
-    # (The filters-1/3/4 unfilter below is a per-byte loop: each byte
-    # depends on the byte 3 to its left, so the row recurrence is
-    # inherently serial — fine for the small synthetic fixtures this
-    # engine decodes; a production decoder would drop to C for it.)
+    # (Filters 0/2 are vectorized; filter 1's left-recurrence is a plain
+    # per-channel prefix sum, so it vectorizes as a cumsum mod 256. Only
+    # filters 3/4 remain per-byte loops: Average's floor-halving and
+    # Paeth's branchy predictor make each byte depend nonlinearly on the
+    # byte 3 to its left — inherently serial in numpy; fine for the small
+    # synthetic fixtures this engine decodes, and a production decoder
+    # would drop to C for them.)
     expected = h * (stride + 1)
     inflater = zlib.decompressobj()
     raw = inflater.decompress(bytes(idat), expected)
@@ -432,13 +435,18 @@ def decode_png_rgb8(data: bytes) -> np.ndarray:
             recon[r] = line
         elif f == 2:
             recon[r] = (line + prior) % 256
-        elif f in (1, 3, 4):
+        elif f == 1:
+            # Sub: row[i] = (line[i] + row[i-3]) % 256 — a per-channel
+            # prefix sum, so cumsum over the (w, 3) view replaces the
+            # per-byte loop exactly (mod distributes over the sum).
+            recon[r] = (np.cumsum(line.reshape(-1, 3), axis=0) % 256).reshape(
+                stride
+            )
+        elif f in (3, 4):
             row = recon[r]
             for i in range(stride):
                 left = row[i - 3] if i >= 3 else 0
-                if f == 1:
-                    v = line[i] + left
-                elif f == 3:
+                if f == 3:
                     v = line[i] + (left + int(prior[i])) // 2
                 else:
                     corner = int(prior[i - 3]) if i >= 3 else 0

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_shift
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import TMP_DIR, load
 
@@ -676,14 +677,13 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_new & (gap_days == 7), 1).otherwise(0)).alias("n_retained"),
         F.sum(F.when(~is_new & (gap_days > 7), 1).otherwise(0)).alias("n_resurrected"),
     )
-    ww = Window.orderBy("wk")
-    return weekly.select(
+    return grid_shift(weekly, ["wk"], [("prev_active", "n_active", -1)]).select(
         F.date_format("wk", "yyyy-MM-dd").alias("week"),
         "n_active",
         "n_new",
         "n_retained",
         "n_resurrected",
         (
-            F.coalesce(F.lag("n_active").over(ww), F.lit(0)) - F.col("n_retained")
+            F.coalesce(F.col("prev_active"), F.lit(0)) - F.col("n_retained")
         ).alias("n_churned_from_prev"),
     )

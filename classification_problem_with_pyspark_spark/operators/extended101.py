@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -104,13 +105,12 @@ def agg_borda_count_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_first_places"),
     )
-    w_final = Window.orderBy(F.desc("borda_points"), "event_type")
-    return (
-        points.withColumn(
-            "borda_rank", F.row_number().over(w_final).cast("long")
-        )
-        .orderBy("borda_rank")
-    )
+    return grid_rank(
+        points,
+        [F.desc("borda_points"), "event_type"],
+        "borda_rank",
+        cast="long",
+    ).orderBy("borda_rank")
 
 
 @register(

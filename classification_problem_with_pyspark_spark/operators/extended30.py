@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -112,18 +113,15 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rank2(col: str) -> DataFrame:
-        w = (
-            Window.orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return (
-            u.groupBy(col)
-            .agg(F.count("*").alias("c"))
-            .select(
-                col,
-                (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1)
-                .alias(f"r{col}2"),
-            )
+        return grid_cumsum(
+            u.groupBy(col).agg(F.count("*").alias("c")),
+            [col],
+            [("cum_prev", "c")],
+            keep=[col, "c"],
+            frame_end=-1,
+        ).select(
+            col,
+            (2 * F.col("cum_prev") + F.col("c") + 1).alias(f"r{col}2"),
         )
 
     ranked = (

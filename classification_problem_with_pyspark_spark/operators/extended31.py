@@ -37,6 +37,7 @@ from classification_problem_with_pyspark_spark.operators.llm import (
     _LANGID_CASE_SQL,
     _langid_score_sql,
 )
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_shift
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -300,12 +301,11 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("above"),
         )
     )
-    w = Window.orderBy("day")
-    runs = flagged.select(
+    runs = grid_shift(flagged, ["day"], [("prev_above", "above", -1)]).select(
         "above",
         F.when(
-            F.lag("above").over(w).isNull()
-            | (F.lag("above").over(w) != F.col("above")),
+            F.col("prev_above").isNull()
+            | (F.col("prev_above") != F.col("above")),
             1,
         )
         .otherwise(0)

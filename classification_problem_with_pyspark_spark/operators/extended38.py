@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_shift
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -160,11 +161,15 @@ def audit_monotonic_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", F.lag("k").over(w_in).alias("prev"))
         .where(F.col("prev").isNotNull())
     )
-    w_grid = Window.orderBy("b")
     stitch = (
-        dk.groupBy(bucket.alias("b"))
-        .agg(F.min("k").alias("k"), F.max("k").alias("bmax"))
-        .select("k", F.lag("bmax").over(w_grid).alias("prev"))
+        grid_shift(
+            dk.groupBy(bucket.alias("b")).agg(
+                F.min("k").alias("k"), F.max("k").alias("bmax")
+            ),
+            ["b"],
+            [("prev", "bmax", -1)],
+        )
+        .select("k", "prev")
         .where(F.col("prev").isNotNull())
     )
     keys = within.unionByName(stitch)

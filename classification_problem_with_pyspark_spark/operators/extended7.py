@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.functions.vector import cosine_similarity
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -617,9 +618,8 @@ def llm_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("wfreq").cast("long").alias("pair_freq"))
     )
-    w = Window.orderBy(F.desc("pair_freq"), F.asc("pair"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
+        grid_rank(pairs, [F.desc("pair_freq"), F.asc("pair")], "rnk")
         .where(F.col("rnk") <= 20)
         .select("rnk", "pair", "pair_freq")
     )

@@ -29,8 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -197,13 +197,13 @@ def window_decile_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("part", "period")
         .agg(F.sum("c").cast("long").alias("rev"))
     )
-    w = Window.orderBy(F.desc("rev"), "part")
-    d1 = sales.where(F.col("period") == 1).select(
-        "part", F.ntile(10).over(w).alias("decile_from")
-    )
-    d2 = sales.where(F.col("period") == 2).select(
-        "part", F.ntile(10).over(w).alias("decile_to")
-    )
+    order = [F.desc("rev"), "part"]
+    d1 = grid_rank(
+        sales.where(F.col("period") == 1), order, "decile_from", fn=F.ntile(10)
+    ).select("part", "decile_from")
+    d2 = grid_rank(
+        sales.where(F.col("period") == 2), order, "decile_to", fn=F.ntile(10)
+    ).select("part", "decile_to")
     return (
         d1.join(d2, "part")
         .groupBy(

@@ -27,13 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.operators.extended27 import (
     _SCORED_SQL,
     _scored,
 )
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -200,9 +199,8 @@ def ml_ks_separation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cross_gap"
         ),
     )
-    w_rk = Window.orderBy(F.desc("cross_gap"), "score")
     return (
-        gaps.withColumn("rk", F.row_number().over(w_rk))
+        grid_rank(gaps, [F.desc("cross_gap"), "score"], "rk")
         .where(F.col("rk") == 1)
         .select(
             F.col("score").alias("ks_score"),

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank, grid_shift
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -133,16 +134,18 @@ def source_cursor_chain_reassembly(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_records"),
         F.sum("key").cast("long").alias("key_sum"),
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("first_key")
-    linked = page_min.select(
+    
+    linked = grid_shift(
+        grid_rank(page_min, ["first_key"], "rn"),
+        ["first_key"],
+        [("expected_next", "cursor", 1)],
+    ).select(
         "cursor",
         "next_cursor",
         "n_records",
         "key_sum",
-        (F.row_number().over(w) - 1).alias("page_no"),
-        F.lead("cursor").over(w).alias("expected_next"),
+        (F.col("rn") - 1).alias("page_no"),
+        "expected_next",
     )
     n_pages = linked.agg(F.count("*").alias("np"))
     chain_ok = (

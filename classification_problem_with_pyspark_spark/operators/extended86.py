@@ -31,9 +31,9 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -137,9 +137,8 @@ def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_ab * n) DIV (n_a * n_b)").alias("lift_micro"),
         )
     )
-    w_rk = Window.orderBy(F.desc("lift_micro"), "w1", "w2")
     return (
-        lifted.withColumn("rank", F.row_number().over(w_rk))
+        grid_rank(lifted, [F.desc("lift_micro"), "w1", "w2"], "rank")
         .where(F.col("rank") <= LIFT_TOP)
         .select(
             "w1",

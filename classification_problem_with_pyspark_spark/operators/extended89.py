@@ -28,8 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -178,19 +178,16 @@ def agg_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({SAMPLE_BUDGET} * n_h) DIV n").alias("base"),
         F.expr(f"({SAMPLE_BUDGET} * n_h) % n").alias("rem"),
     )
-    w_rk = Window.orderBy(F.desc("rem"), "stratum")
     base_tot = floored.agg(
         (F.lit(SAMPLE_BUDGET) - F.sum("base")).cast("long").alias("deficit")
     )
     return (
-        floored.crossJoin(F.broadcast(base_tot))
-        .select(
-            "stratum",
-            "n_h",
-            "base",
-            "deficit",
-            F.row_number().over(w_rk).alias("rk"),
+        grid_rank(
+            floored.crossJoin(F.broadcast(base_tot)),
+            [F.desc("rem"), "stratum"],
+            "rk",
         )
+        .select("stratum", "n_h", "base", "deficit", "rk")
         .select(
             "stratum",
             "n_h",

@@ -30,9 +30,9 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -158,13 +158,11 @@ def window_mtd_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     span = daily.agg(F.count("*").alias("n_days"))
-    w_rn = Window.orderBy("d")
-    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    paced = daily.select(
-        "d",
-        F.row_number().over(w_rn).alias("day_no"),
-        F.sum("cents").over(w_cum).cast("long").alias("mtd_cents"),
-    )
+    paced = grid_rank(
+        grid_cumsum(daily, ["d"], [("mtd_raw", "cents")], keep=["d"]),
+        ["d"],
+        "day_no",
+    ).select("d", "day_no", F.col("mtd_raw").cast("long").alias("mtd_cents"))
     return (
         paced.crossJoin(F.broadcast(span))
         .select(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -183,11 +184,12 @@ def events_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
         .agg(F.count("*").alias("x"))
     )
-    from pyspark.sql.window import Window
-
-    idx = daily.select(
-        "x", F.row_number().over(Window.orderBy("d")).alias("i")
-    ).localCheckpoint(eager=True)
+    
+    idx = (
+        grid_rank(daily, ["d"], "i")
+        .select("x", "i")
+        .localCheckpoint(eager=True)
+    )
     mom = idx.agg(
         F.count("*").alias("n"),
         F.sum("x").cast("long").alias("s"),

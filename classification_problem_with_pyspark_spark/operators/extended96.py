@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -222,9 +222,11 @@ def events_periodicity_comb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
         .agg(F.count("*").alias("x"))
     )
-    idx = daily.select(
-        "x", (F.row_number().over(Window.orderBy("d")) - 1).alias("i")
-    ).localCheckpoint(eager=True)
+    idx = (
+        grid_rank(daily, ["d"], "rn")
+        .select("x", (F.col("rn") - 1).alias("i"))
+        .localCheckpoint(eager=True)
+    )
     tot = idx.agg(
         F.count("*").alias("n"), F.sum("x").cast("long").alias("s")
     )
@@ -256,9 +258,8 @@ def events_periodicity_comb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scores.withColumn(
         "score_per_df", F.expr("comb_score DIV (p - 1)").cast("long")
     )
-    w_rk = Window.orderBy(F.desc("score_per_df"), "p")
     return (
-        scored.withColumn("rank", F.row_number().over(w_rk))
+        grid_rank(scored, [F.desc("score_per_df"), "p"], "rank")
         .select(
             F.col("p").cast("long").alias("period"),
             "comb_score",

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["grid_cumsum"]
+__all__ = ["grid_cumsum", "grid_rank", "grid_shift"]
 
 
 def _assert_bounded_grid(grid: DataFrame) -> None:
@@ -77,3 +77,42 @@ def grid_cumsum(
             c = F.coalesce(c, F.lit(0))
         out.append(c.alias(name))
     return grid.select(*keep, *out)
+
+
+def grid_rank(
+    grid: DataFrame,
+    order_by: Iterable[Column | str],
+    name: str,
+    fn: Column | None = None,
+    cast: str | None = None,
+) -> DataFrame:
+    """Ranking function over a bounded distinct-value grid (asserted
+    post-aggregation, like `grid_cumsum`): appends column `name` =
+    ``fn OVER (ORDER BY order_by)``. `fn` defaults to ``row_number()``;
+    pass e.g. ``F.ntile(10)`` for decile assignment. The single-task
+    window is safe for the same reason as the cumsum: its input is one
+    row per distinct value cell, never the fact relation."""
+    _assert_bounded_grid(grid)
+    w = Window.orderBy(*order_by)  # bounded-grid site (asserted above)
+    c = (F.row_number() if fn is None else fn).over(w)
+    if cast is not None:
+        c = c.cast(cast)
+    return grid.withColumn(name, c)
+
+
+def grid_shift(
+    grid: DataFrame,
+    order_by: Iterable[Column | str],
+    shifts: Iterable[tuple[str, str, int]],
+) -> DataFrame:
+    """lag/lead columns over a bounded distinct-value grid (asserted
+    post-aggregation): `shifts` is ``(name, src_col, offset)`` with
+    offset -k = the value k rows BACK (lag) and +k = k rows AHEAD
+    (lead) in `order_by` order; missing neighbours are NULL."""
+    _assert_bounded_grid(grid)
+    w = Window.orderBy(*order_by)  # bounded-grid site (asserted above)
+    df = grid
+    for name, src, off in shifts:
+        shifted = F.lag(src, -off).over(w) if off < 0 else F.lead(src, off).over(w)
+        df = df.withColumn(name, shifted)
+    return df

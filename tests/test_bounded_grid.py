@@ -40,6 +40,39 @@ def test_grid_cumsum_rejects_unaggregated_relation(spark):
         grid_cumsum(fact, ["score"], [("cum", "score")], keep=["score"])
 
 
+def test_grid_rank_row_number_and_ntile(spark):
+    from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
+
+    grid = spark.range(4).groupBy("id").agg(F.count("*").alias("c"))
+    rn = {r["id"]: r["rk"] for r in grid_rank(grid, [F.desc("id")], "rk").collect()}
+    assert rn == {3: 1, 2: 2, 1: 3, 0: 4}
+    nt = {
+        r["id"]: r["half"]
+        for r in grid_rank(grid, ["id"], "half", fn=F.ntile(2)).collect()
+    }
+    assert nt == {0: 1, 1: 1, 2: 2, 3: 2}
+
+
+def test_grid_rank_rejects_unaggregated_relation(spark):
+    from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
+
+    with pytest.raises(AssertionError, match="post-aggregation"):
+        grid_rank(spark.range(5), ["id"], "rk")
+
+
+def test_grid_shift_lag_and_lead(spark):
+    from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_shift
+
+    grid = spark.range(3).groupBy("id").agg((F.first("id") * 10).alias("v"))
+    out = {
+        r["id"]: (r["prev"], r["next"])
+        for r in grid_shift(
+            grid, ["id"], [("prev", "v", -1), ("next", "v", 1)]
+        ).collect()
+    }
+    assert out == {0: (None, 10), 1: (0, 20), 2: (10, None)}
+
+
 def test_grid_cumsum_accepts_distinct(spark):
     grid = spark.range(8).select((F.col("id") % 4).alias("v")).distinct()
     out = grid_cumsum(grid, [F.desc("v")], [("cum", "v")], keep=["v"])

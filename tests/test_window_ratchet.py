@@ -44,33 +44,19 @@ PKG = Path(__file__).resolve().parent.parent / "classification_problem_with_pysp
 
 # file → (max allowed `Window.orderBy(` sites, boundedness argument)
 ORDERBY_ALLOWLIST = {
-    "operators/events.py": (1, "grid: weekly growth-accounting rows"),
-    "operators/extended101.py": (1, "grid: Borda points per event_type"),
-    "plans/bounded_grid.py": (1, "grid: the SHARED distinct-value-grid cumsum helper — boundedness is asserted in code (analyzed plan must contain Aggregate/Deduplicate), not argued in prose; 21 former per-file sites (ROC/Youden/cost/KS/PR-AUC/rank-sum, norm median/MAD, PSI edges, vocab growth, HL base ranks, top-1%% cutoff, ABC share, CCDF, Mann-Whitney prev-rank, sequential looks, Lorenz share, Kaplan-Meier risk+hazard, SLO ledger, greedy-budget base) route here"),
+    "plans/bounded_grid.py": (3, "grid: the SHARED bounded-grid window helpers (grid_cumsum / grid_rank / grid_shift, one ordered-window site each) — boundedness is asserted in code: the input's analyzed plan must contain Aggregate/Deduplicate, so every routed site is a post-aggregation distinct-value grid, never the fact relation; 35 former per-file sites across 27 operator files route here"),
     "operators/extended115.py": (1, "top-k: Hill estimator keeps rows rn<=k+1, k constant"),
     "operators/extended117.py": (1, "top-k/grid: split-conformal quantile rank over the calibration SUBSET"),
     "operators/extended17.py": (3, "grid: distinct-cents cum+lag pair and decile ntile (Lorenz cum-share now via plans/bounded_grid.grid_cumsum)"),
-    "operators/extended30.py": (1, "grid: Spearman midrank over per-user agg then distinct values"),
-    "operators/extended31.py": (1, "grid: daily runs-test sequence"),
-    "operators/extended38.py": (1, "grid: bucket-boundary stitch lag over non-empty 2^20-key buckets (per-key lag is partitioned by bucket)"),
     "operators/extended4.py": (3, "documented: z-order OPTIMIZE — the write job's one legitimate global sort; docstring names broadcast quantile boundaries at scale"),
     "operators/extended42.py": (1, "grid: daily medians (Hodges-Lehmann bucket-histogram base cumsum now via plans/bounded_grid.grid_cumsum)"),
     "operators/extended44.py": (2, "grid: lift-curve score-histogram base cumsum over the bounded [0,1e6+boost] score grid (per-row rank is score-partitioned, ntile in closed form) + 10-row decile cumsum"),
     "operators/extended5.py": (10, "grid/top-k: token+bigram count grids, daily 7d window, user-agg ntile deciles (pareto/RFM), session-path grid, t-delta grid"),
     "operators/extended6.py": (6, "grid/dim: embedding-dim variance (|dims| rows), bucket cumsum, CMS audit top rank over custkey agg, growth grid, doc ntile + 10-row cumsum"),
     "operators/extended66.py": (3, "grid: business-day calendar (|days| rows); RLE audit bucket-boundary stitch (per-row lag is bucket-partitioned) and (rf,ls) block grid"),
-    "operators/extended7.py": (1, "grid: BPE pair-frequency argmax"),
-    "operators/extended73.py": (1, "grid: part-period revenue deciles"),
-    "operators/extended76.py": (1, "grid: KS argmax rank over the distinct-score gap rows (cumsum itself now via plans/bounded_grid.grid_cumsum)"),
     "operators/extended81.py": (3, "grid: per-source capacity rows (water-filling)"),
-    "operators/extended84.py": (1, "grid: cursor-page first_key rows (|pages|)"),
     "operators/extended85.py": (1, "grid: per-supplier Bradley-Terry strengths"),
-    "operators/extended86.py": (1, "grid: bigram-lift rank"),
-    "operators/extended89.py": (1, "grid: per-stratum largest-remainder rank"),
-    "operators/extended92.py": (2, "grid: daily MTD pacing rows"),
     "operators/extended93.py": (1, "top-k: margin-pick keeps rows pick<=SAMPLE_B constant"),
-    "operators/extended95.py": (1, "grid: daily count rows"),
-    "operators/extended96.py": (2, "grid: daily grid + score_per_df grid ranks (the density-grid base cumsum now via plans/bounded_grid.grid_cumsum)"),
     "operators/extended98.py": (2, "grid: per-supplier version rows"),
     "operators/ml2.py": (1, "dim: distinct event_type id assignment"),
     "operators/relational.py": (1, "dim: supplier top-n"),

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank, grid_shift
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -95,19 +95,19 @@ def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_price = o.select("cents", days.alias("dd")).groupBy("cents").agg(
         F.max("dd").alias("m_equal")
     )
-    w_run = (
-        Window.orderBy(F.desc("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_lag = Window.orderBy(F.desc("cents"))
-    frontier = per_price.select(
-        "cents",
-        "m_equal",
-        F.max("m_equal").over(w_run).alias("cummax"),
+    frontier = grid_shift(
+        grid_cumsum(
+            per_price,
+            [F.desc("cents")],
+            [("cummax", F.max("m_equal"))],
+            keep=["cents", "m_equal"],
+        ),
+        [F.desc("cents")],
+        [("m_higher", "cummax", -1)],
     ).select(
         "cents",
         "m_equal",
-        F.lag("cummax").over(w_lag).alias("m_higher"),
+        "m_higher",
     )
     return (
         o.select("o_orderkey", "cents", "d", days.alias("dd"))

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -272,12 +273,13 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score_micro"),
     )
     hist = scored.groupBy("score_micro").agg(F.count("*").alias("c"))
-    w_grid = Window.orderBy(F.desc("score_micro")).rowsBetween(
-        Window.unboundedPreceding, -1
+    base = grid_cumsum(
+        hist,
+        [F.desc("score_micro")],
+        [("base", "c")],
+        keep=["score_micro"],
+        frame_end=-1,
     )
-    base = hist.withColumn(
-        "base", F.coalesce(F.sum("c").over(w_grid), F.lit(0))
-    ).select("score_micro", "base")
     tot_n = hist.agg(F.sum("c").cast("long").alias("n"))
     w_in = Window.partitionBy("score_micro").orderBy("vec_id")
     # SQL ntile(k): the first n%k buckets hold n DIV k + 1 rows, the
@@ -311,12 +313,13 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per.agg(
         F.sum("n_rows").alias("n"), F.sum("n_pos").alias("p")
     )
-    w_cum = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     return (
-        per.crossJoin(F.broadcast(tot))
-        .withColumn("cum_pos", F.sum("n_pos").over(w_cum))
+        grid_cumsum(
+            per.crossJoin(F.broadcast(tot)),
+            ["decile"],
+            [("cum_pos", "n_pos")],
+            keep=["*"],
+        )
         .select(
             "decile",
             "n_rows",

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -1064,15 +1065,13 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    w_ord = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order = [F.desc("cnt"), F.asc("token")]
     tot = vocab.agg(F.sum("cnt").alias("total_cnt"))
-    ranked = vocab.crossJoin(F.broadcast(tot)).select(
-        "token",
-        "cnt",
-        F.row_number().over(w_ord).alias("rank"),
-        F.sum("cnt").over(w_cum).alias("cum_cnt"),
-        "total_cnt",
+    ranked = grid_cumsum(
+        grid_rank(vocab.crossJoin(F.broadcast(tot)), order, "rank"),
+        order,
+        [("cum_cnt", "cnt")],
+        keep=["token", "cnt", "rank", "total_cnt"],
     )
     return ranked.where(F.col("rank") <= 20).select(
         "rank",
@@ -2040,9 +2039,8 @@ def llm_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counted = bigrams.groupBy("bigram").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
     return (
-        counted.withColumn("rank", F.row_number().over(w))
+        grid_rank(counted, [F.desc("cnt"), F.asc("bigram")], "rank")
         .where(F.col("rank") <= 15)
         .select("bigram", "cnt", "rank")
     )
@@ -2230,15 +2228,19 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
     )
-    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
-    framed = daily.select(
-        "day",
-        F.count("*").over(w).alias("n"),
-        F.sum("x").over(w).alias("sx"),
-        F.sum("y").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    framed = grid_cumsum(
+        daily,
+        ["day"],
+        [
+            ("n", F.count("*")),
+            ("sx", "x"),
+            ("sy", "y"),
+            ("sxx", F.sum(F.col("x") * F.col("x"))),
+            ("syy", F.sum(F.col("y") * F.col("y"))),
+            ("sxy", F.sum(F.col("x") * F.col("y"))),
+        ],
+        keep=["day"],
+        frame_start=-6,
     ).where(F.col("n") == 7)
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
@@ -2741,23 +2743,25 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
     )
-    deciled = totals.select(
-        "user_id",
-        "c",
-        F.ntile(10).over(Window.orderBy(F.desc("c"), F.asc("user_id"))).alias("decile"),
-    )
+    deciled = grid_rank(
+        totals, [F.desc("c"), F.asc("user_id")], "decile", fn=F.ntile(10)
+    ).select("user_id", "c", "decile")
     per_decile = deciled.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("c").alias("dc")
     )
     tot = totals.agg(F.sum("c").alias("total_c"))
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return per_decile.crossJoin(F.broadcast(tot)).select(
+    return grid_cumsum(
+        per_decile.crossJoin(F.broadcast(tot)),
+        ["decile"],
+        [("cum_dc", "dc")],
+        keep=["decile", "n_users", "dc", "total_c"],
+    ).select(
         "decile",
         "n_users",
         (F.col("dc").cast("double") / 100.0).alias("decile_value"),
         F.round(F.col("dc").cast("double") / F.col("total_c"), 6).alias("value_share"),
         F.round(
-            F.sum("dc").over(wc).cast("double") / F.col("total_c"), 6
+            F.col("cum_dc").cast("double") / F.col("total_c"), 6
         ).alias("cum_share"),
     )
 
@@ -2876,13 +2880,22 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c",
         )
     )
-    scored = per_user.select(
-        "user_id",
-        "monetary_c",
-        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary_c"), F.asc("user_id"))).alias("m_score"),
-    )
+    scored = grid_rank(
+        grid_rank(
+            grid_rank(
+                per_user,
+                [F.asc("recency_days"), F.asc("user_id")],
+                "r_score",
+                fn=F.ntile(5),
+            ),
+            [F.desc("frequency"), F.asc("user_id")],
+            "f_score",
+            fn=F.ntile(5),
+        ),
+        [F.desc("monetary_c"), F.asc("user_id")],
+        "m_score",
+        fn=F.ntile(5),
+    ).select("user_id", "monetary_c", "r_score", "f_score", "m_score")
     return (
         scored.select(
             F.concat(
@@ -3064,10 +3077,9 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         paths.groupBy("path")
         .agg(F.count("*").alias("n_sessions"), F.max("path_len").alias("path_len"))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.desc("n_sessions"), F.asc("path"))),
-        )
+    )
+    ranked = (
+        grid_rank(ranked, [F.desc("n_sessions"), F.asc("path")], "rk")
         .where(F.col("rk") <= 15)
         .drop("rk")
     )
@@ -3192,10 +3204,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sessions.select(
         F.col("start_s").alias("t"), F.lit(1).alias("delta")
     ).unionAll(sessions.select(F.col("end_s").alias("t"), F.lit(-1).alias("delta")))
-    ws = Window.orderBy("t", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    swept = deltas.select(F.sum("delta").over(ws).alias("concurrent"))
+    swept = grid_cumsum(deltas, ["t", "delta"], [("concurrent", "delta")], keep=[])
     return swept.agg(
         F.max("concurrent").alias("peak_concurrent_sessions"),
         (F.count("*") / 2).cast("long").alias("n_sessions"),

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -200,11 +201,10 @@ def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s1") / (F.col("n") * 1e6)
     variance = F.round(F.col("s2") / (F.col("n") * 1e12) - mean * mean, 8)
-    ranked = stats.select(
-        "dim", "n", variance.alias("variance")
-    ).withColumn(
+    ranked = grid_rank(
+        stats.select("dim", "n", variance.alias("variance")),
+        [F.desc("variance"), F.asc("dim")],
         "rank",
-        F.row_number().over(Window.orderBy(F.desc("variance"), F.asc("dim"))),
     )
     return ranked.where(F.col("rank") <= 8).select(
         "rank", "dim", F.col("n").alias("n_vectors"), "variance"
@@ -430,13 +430,12 @@ def agg_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     buckets = o.groupBy(
         F.floor(F.col("o_totalprice") / 5000).cast("long").alias("bucket")
     ).agg(F.count("*").alias("cnt"))
-    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     tot = buckets.agg(F.sum("cnt").alias("n_total"))
-    cum = buckets.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        "cnt",
-        F.sum("cnt").over(wcum).alias("cum_cnt"),
-        "n_total",
+    cum = grid_cumsum(
+        buckets.crossJoin(F.broadcast(tot)),
+        ["bucket"],
+        [("cum_cnt", "cnt")],
+        keep=["bucket", "cnt", "n_total"],
     )
     qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
     hit = (
@@ -628,14 +627,10 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         hashed.groupBy("o_custkey")
         .agg(F.count("*").alias("true_cnt"), F.first("p0").alias("p0"), F.first("p1").alias("p1"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
-            ),
-        )
-        .where(F.col("rk") <= 10)
     )
+    truth = grid_rank(
+        truth, [F.desc("true_cnt"), F.asc("o_custkey")], "rk"
+    ).where(F.col("rk") <= 10)
     est = F.least(F.col("cnt0"), F.col("cnt1"))
     return (
         truth.join(F.broadcast(row0), truth.p0 == row0.pos)
@@ -1093,11 +1088,11 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_curr").cast("double") / (F.col("n_prev") + 1), 6),
     )
     return (
-        scored.withColumn(
+        grid_rank(
+            scored,
+            [F.desc("growth_ratio"), F.asc("event_type")],
             "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("growth_ratio"), F.asc("event_type"))
-            ).cast("long"),
+            cast="long",
         )
         .where(F.col("rank") <= 3)
         .select("event_type", "n_prev", "n_curr", "growth_ratio", "rank")
@@ -1561,13 +1556,21 @@ def llm_quality_bucket_token_budget(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("decile_tokens"),
     )
-    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    return per_decile.select(
-        "decile",
-        "n_docs",
-        "decile_tokens",
-        F.sum("decile_tokens").over(wcum).cast("long").alias("cum_tokens"),
-    ).withColumn("fully_within_budget", F.col("cum_tokens") <= 30000)
+    return (
+        grid_cumsum(
+            per_decile,
+            ["decile"],
+            [("cum_raw", "decile_tokens")],
+            keep=["decile", "n_docs", "decile_tokens"],
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "decile_tokens",
+            F.col("cum_raw").cast("long").alias("cum_tokens"),
+        )
+        .withColumn("fully_within_budget", F.col("cum_tokens") <= 30000)
+    )
 
 
 @register(

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank, grid_shift
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -99,10 +100,9 @@ def join_business_day_settlement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
     days = o.select(F.col("trade_d").alias("d")).distinct()
-    spine = (
-        days.where(F.dayofweek("d").between(2, 6))
-        .select("d", F.row_number().over(Window.orderBy("d")).alias("bd"))
-    )
+    spine = grid_rank(
+        days.where(F.dayofweek("d").between(2, 6)), ["d"], "bd"
+    ).select("d", "bd")
     trades = o.where(F.dayofweek("trade_d").between(2, 6))
     s1 = spine.select(F.col("d").alias("trade_d"), F.col("bd").alias("bd1"))
     s2 = spine.select(F.col("d").alias("settle_d"), F.col("bd").alias("bd2"))
@@ -240,20 +240,22 @@ def layout_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ls_in"),
     )
     kstruct = F.struct(*cols)
-    w_bgrid = Window.orderBy("b")
     bounds = (
-        rows.groupBy("b")
-        .agg(
-            F.min_by("l_returnflag", kstruct).alias("first_rf"),
-            F.max_by("l_returnflag", kstruct).alias("last_rf"),
-            F.min_by("l_linestatus", kstruct).alias("first_ls"),
-            F.max_by("l_linestatus", kstruct).alias("last_ls"),
+        grid_shift(
+            rows.groupBy("b").agg(
+                F.min_by("l_returnflag", kstruct).alias("first_rf"),
+                F.max_by("l_returnflag", kstruct).alias("last_rf"),
+                F.min_by("l_linestatus", kstruct).alias("first_ls"),
+                F.max_by("l_linestatus", kstruct).alias("last_ls"),
+            ),
+            ["b"],
+            [("prev_rf", "last_rf", -1), ("prev_ls", "last_ls", -1)],
         )
         .select(
             "first_rf",
             "first_ls",
-            F.lag("last_rf").over(w_bgrid).alias("prev_rf"),
-            F.lag("last_ls").over(w_bgrid).alias("prev_ls"),
+            "prev_rf",
+            "prev_ls",
         )
         .agg(
             F.sum(
@@ -278,19 +280,12 @@ def layout_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rf_in") + F.col("rf_bd")).cast("long").alias("rf_runs"),
         (F.col("ls_in") + F.col("ls_bd")).cast("long").alias("ls_runs"),
     )
-    w_vgrid = Window.orderBy("rf", "ls")
-    vgrid = (
+    vgrid = grid_shift(
         li.groupBy(
             F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
-        )
-        .agg(F.count("*").alias("c"))
-        .select(
-            "rf",
-            "ls",
-            "c",
-            F.lag("rf").over(w_vgrid).alias("p_rf"),
-            F.lag("ls").over(w_vgrid).alias("p_ls"),
-        )
+        ).agg(F.count("*").alias("c")),
+        ["rf", "ls"],
+        [("p_rf", "rf", -1), ("p_ls", "ls", -1)],
     )
     by_value = vgrid.agg(
         F.lit("by_value").alias("layout"),

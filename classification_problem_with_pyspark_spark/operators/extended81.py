@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -117,17 +118,12 @@ def agg_waterfill_fair_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("budget"),
         F.count("*").alias("n_src"),
     )
-    w_pfx = Window.orderBy("cap", "source").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_rk = Window.orderBy("cap", "source")
-    budgeted = demand.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "cap",
-        "budget",
-        "n_src",
-        F.row_number().over(w_rk).alias("rk"),
-        F.coalesce(F.sum("cap").over(w_pfx), F.lit(0)).alias("prefix_cap"),
+    budgeted = grid_cumsum(
+        grid_rank(demand.crossJoin(F.broadcast(tot)), ["cap", "source"], "rk"),
+        ["cap", "source"],
+        [("prefix_cap", "cap")],
+        keep=["source", "cap", "budget", "n_src", "rk"],
+        frame_end=-1,
     )
     classed = budgeted.withColumn(
         "saturated",
@@ -138,14 +134,15 @@ def agg_waterfill_fair_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce(F.sum("cap"), F.lit(0)).cast("long").alias("sat_total"),
         F.count("*").alias("n_sat"),
     )
-    w_brk = Window.orderBy(F.desc("cap"), "source")
-    unsat = classed.crossJoin(F.broadcast(sat)).select(
+    unsat = grid_rank(
+        classed.crossJoin(F.broadcast(sat)), [F.desc("cap"), "source"], "brk"
+    ).select(
         "source",
         "cap",
         "saturated",
         (F.col("budget") - F.col("sat_total")).alias("rem_budget"),
         (F.col("n_src") - F.col("n_sat")).alias("n_unsat"),
-        F.row_number().over(w_brk).alias("brk"),
+        "brk",
     )
     return unsat.select(
         "source",

@@ -44,37 +44,47 @@ def _assert_bounded_grid(grid: DataFrame) -> None:
 def grid_cumsum(
     grid: DataFrame,
     order_by: Iterable[Column | str],
-    sums: Iterable[tuple[str, str]],
+    sums: Iterable[tuple[str, str | Column]],
     keep: Iterable[Column | str],
     frame_end: int = 0,
+    frame_start: int | None = None,
 ) -> DataFrame:
-    """Cumulative sums over a bounded distinct-value grid.
+    """Framed running aggregates over a bounded distinct-value grid.
 
     Parameters
     ----------
     grid : one row per distinct value cell (MUST be post-aggregation —
         asserted structurally, see `_assert_bounded_grid`).
     order_by : window ordering, e.g. ``[F.desc("score")]``.
-    sums : ``(out_name, src_col)`` pairs; each becomes
-        ``sum(src_col) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING..frame_end)``.
-    keep : passthrough columns selected before the cumsum columns.
+    sums : ``(out_name, src)`` pairs. A string `src` becomes
+        ``sum(src) OVER (frame)``; a Column `src` must be an aggregate
+        expression (``F.max("m")``, ``F.count("*")``, ``F.sum(x*y)``)
+        and is applied over the frame as-is.
+    keep : passthrough columns selected before the aggregate columns.
     frame_end : window frame end offset — 0 (inclusive running total) or
-        a negative offset such as -1 (strictly-before total; NULL at the
-        first row is coalesced to 0, the rank-sum "count before" form).
+        a negative offset such as -1 (strictly-before total; string sums
+        coalesce the empty-frame NULL to 0, the rank-sum "count before"
+        form).
+    frame_start : window frame start offset — None (the default) means
+        UNBOUNDED PRECEDING; an int such as -6 gives a rolling frame.
 
     Scale: the input is one row per distinct value of the ordered key, so
     the single WindowExec partition holds |value domain| rows regardless
     of fact-table size — the same posture at sf0.001 and at 100 TB.
     """
     _assert_bounded_grid(grid)
+    start = Window.unboundedPreceding if frame_start is None else frame_start
     w = Window.orderBy(*order_by).rowsBetween(  # bounded-grid site (asserted above)
-        Window.unboundedPreceding, frame_end
+        start, frame_end
     )
     out: list[Column] = []
     for name, src in sums:
-        c = F.sum(src).over(w)
-        if frame_end < 0:
-            c = F.coalesce(c, F.lit(0))
+        if isinstance(src, str):
+            c = F.sum(src).over(w)
+            if frame_end < 0:
+                c = F.coalesce(c, F.lit(0))
+        else:
+            c = src.over(w)
         out.append(c.alias(name))
     return grid.select(*keep, *out)
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -241,11 +241,9 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hl4_cents"),
     )
     tot_days = daily.agg(F.count("*").cast("long").alias("n"))
-    ranked_d = daily.crossJoin(F.broadcast(tot_days)).select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents")).alias("rn"),
-        "n",
-    )
+    ranked_d = grid_rank(
+        daily.crossJoin(F.broadcast(tot_days)), ["cents"], "rn"
+    ).select("cents", "rn", "n")
     med = ranked_d.agg(
         F.count("*").cast("long").alias("n_days"),
         (

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -138,9 +139,8 @@ def ml_uncertainty_margin_sampling(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("margin"),
     )
-    w_pick = Window.orderBy("margin", "vec_id")
     return (
-        margins.withColumn("pick", F.row_number().over(w_pick))
+        grid_rank(margins, ["margin", "vec_id"], "pick")
         .where(F.col("pick") <= SAMPLE_B)
         .groupBy(F.col("y").alias("label"))
         .agg(

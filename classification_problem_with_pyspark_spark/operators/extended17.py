@@ -154,18 +154,41 @@ def agg_lorenz_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: integer cents sums; one floor(1e6·cum/total) per decile
     row (single expression, identical both engines).
 
-    Scale: the ntile window is the only full-width pass; the cumulative
-    share runs over 10 rows. At 100 TB replace exact ntile with
-    approx_percentile decile cutoffs + one bucketing pass (the
-    candidate-band discipline) — same output within cutoff precision.
+    Scale: the exact ntile is computed in CLOSED FORM — distinct-cents
+    histogram base ranks + a cents-partitioned row_number — so no order
+    row ever funnels through a single-task sort; the only unpartitioned
+    windows run over the bounded distinct-cents grid and the 10-row
+    decile table. The same plan shape survives 100 TB unchanged.
     """
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    deciles = o.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy("cents", "o_orderkey")).alias("dec"),
+    # Closed-form ntile (r8 de-globalization): global rank = strictly-
+    # lower-cents count (bounded distinct-cents grid cumsum) + the
+    # cents-partitioned row_number; SQL ntile(k) is then a pure function
+    # of (rank, n). No order row passes through a single-task sort.
+    hist = o.groupBy("cents").agg(F.count("*").alias("c"))
+    base = grid_cumsum(
+        hist, ["cents"], [("base", "c")], keep=["cents"], frame_end=-1
+    )
+    tot_n = hist.agg(F.sum("c").cast("long").alias("n_rows"))
+    w_in = Window.partitionBy("cents").orderBy("o_orderkey")
+    deciles = (
+        o.withColumn("rn_in", F.row_number().over(w_in))
+        .join(F.broadcast(base), "cents")
+        .crossJoin(F.broadcast(tot_n))
+        .withColumn("rn", F.col("base") + F.col("rn_in"))
+        .select(
+            "cents",
+            F.expr(
+                "CAST(CASE WHEN rn <= (n_rows % 10) * (n_rows DIV 10 + 1) "
+                "THEN (rn - 1) DIV (n_rows DIV 10 + 1) + 1 "
+                "ELSE n_rows % 10 "
+                "+ (rn - (n_rows % 10) * (n_rows DIV 10 + 1) - 1) "
+                "DIV greatest(1, n_rows DIV 10) + 1 END AS INT)"
+            ).alias("dec"),
+        )
     )
     per = deciles.groupBy("dec").agg(
         F.count("*").alias("n"), F.sum("cents").cast("long").alias("s")

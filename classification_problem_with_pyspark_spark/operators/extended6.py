@@ -1538,8 +1538,14 @@ def llm_quality_bucket_token_budget(spark: SparkSession, sf_dir: str) -> DataFra
     quality-first corpus downselection ("spend the budget on the best
     data first").
 
-    The per-doc work is one scan pass; NTILE and the cumulative sum run
-    over deterministic total orders (decile table is 10 rows). All
+    The per-doc work is one scan pass; the decile assignment is the
+    CLOSED-FORM ntile (r7/r8 de-globalization recipe, same as
+    ml_lift_gain_deciles): a bounded distinct-length histogram gives
+    each document's global rank as base(n_chars) + its length-partitioned
+    row_number, and SQL ntile(k) is a pure function of (rank, n) — the
+    first n%k buckets hold n DIV k + 1 rows, the rest n DIV k. No
+    document row ever passes through a single-task sort; the only
+    single-partition window is the |distinct lengths| grid cumsum. All
     outputs are exact integers + a boolean.
     """
     d = load(spark, sf_dir, "documents")
@@ -1548,9 +1554,31 @@ def llm_quality_bucket_token_budget(spark: SparkSession, sf_dir: str) -> DataFra
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.length("text").alias("n_chars"),
     )
-    deciled = scored.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+    hist = scored.groupBy("n_chars").agg(F.count("*").alias("c"))
+    base = grid_cumsum(
+        hist,
+        [F.desc("n_chars")],
+        [("base", "c")],
+        keep=["n_chars"],
+        frame_end=-1,
+    )
+    tot_n = hist.agg(F.sum("c").cast("long").alias("n"))
+    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
+    deciled = (
+        scored.withColumn("rn_in", F.row_number().over(w_in))
+        .join(F.broadcast(base), "n_chars")
+        .crossJoin(F.broadcast(tot_n))
+        .withColumn("rn", F.col("base") + F.col("rn_in"))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(CASE WHEN rn <= (n % 10) * (n DIV 10 + 1) "
+                "THEN (rn - 1) DIV (n DIV 10 + 1) + 1 "
+                "ELSE n % 10 "
+                "+ (rn - (n % 10) * (n DIV 10 + 1) - 1) "
+                "DIV greatest(1, n DIV 10) + 1 END AS INT)"
+            ),
+        )
     )
     per_decile = deciled.groupBy("decile").agg(
         F.count("*").alias("n_docs"),

@@ -47,9 +47,7 @@ ORDERBY_ALLOWLIST = {
     "plans/bounded_grid.py": (3, "grid: the SHARED bounded-grid window helpers (grid_cumsum / grid_rank / grid_shift, one ordered-window site each) — boundedness is asserted in code: the input's analyzed plan must contain Aggregate/Deduplicate, so every routed site is a post-aggregation distinct-value grid, never the fact relation; 58 former per-file sites across 35 operator files route here"),
     "operators/extended115.py": (1, "top-k: Hill estimator keeps rows rn<=k+1, k constant"),
     "operators/extended117.py": (1, "top-k/grid: split-conformal quantile rank over the calibration SUBSET"),
-    "operators/extended17.py": (1, "documented: whole-orders ntile for the Lorenz deciles; docstring names approx_percentile cutpoints at scale (cum+lag frontier and cum-share now via plans/bounded_grid helpers)"),
     "operators/extended4.py": (3, "documented: z-order OPTIMIZE — the write job's one legitimate global sort; docstring names broadcast quantile boundaries at scale"),
-    "operators/extended6.py": (1, "documented: whole-corpus doc ntile for the token-budget deciles — post-agg per-doc relation; docstring names the approx-percentile/closed-form-ntile scale path (other 5 former sites now via plans/bounded_grid helpers)"),
     "operators/extended85.py": (1, "grid: per-supplier Bradley-Terry strengths"),
     "operators/extended98.py": (2, "grid: per-supplier version rows"),
     "operators/ml2.py": (1, "dim: distinct event_type id assignment"),

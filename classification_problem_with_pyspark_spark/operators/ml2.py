@@ -38,8 +38,8 @@ from pyspark.ml.recommendation import ALS
 from pyspark.ml.regression import GeneralizedLinearRegression, LinearRegression
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -130,12 +130,11 @@ def ml_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendForAllUsers is a broadcast of the tiny item factor matrix.
     """
     e = load(spark, sf_dir, "events")
-    items = (
-        e.select("event_type")
-        .distinct()
-        .orderBy("event_type")
-        .withColumn("item_id", F.row_number().over(Window.orderBy("event_type")) - 1)
-    )
+    items = grid_rank(
+        e.select("event_type").distinct().orderBy("event_type"),
+        ["event_type"],
+        "item_id",
+    ).withColumn("item_id", F.col("item_id") - 1)
     ratings = (
         e.join(F.broadcast(items), "event_type")
         .groupBy(F.col("user_id").cast("int").alias("user"), F.col("item_id").alias("item"))

@@ -168,16 +168,44 @@ def window_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank/cume_dist over account balance.
 
-    Unpartitioned window — acceptable only because customer is
-    dimension-sized; a fact-table quantile at scale goes through
-    approx_percentile instead (SURVEY.md §7.6).
+    De-globalized (r8): the (c_acctbal, c_custkey) ordering is a total
+    order, so rank == row_number == global rank from the bounded
+    distinct-acctbal histogram (strictly-lower cumsum base + an
+    acctbal-partitioned row_number), and all three window functions are
+    closed forms of (rn, n): ntile(4) via the first-n%k-buckets rule,
+    percent_rank = (rn-1)/(n-1), cume_dist = rn/n. No customer row ever
+    funnels through a single-task sort — the shape that survives a
+    fact-sized relation, not just a dim.
     """
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return load(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("acctbal_quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    from classification_problem_with_pyspark_spark.plans.bounded_grid import (
+        grid_cumsum,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    hist = c.groupBy("c_acctbal").agg(F.count("*").alias("cnt"))
+    base = grid_cumsum(
+        hist, ["c_acctbal"], [("base", "cnt")], keep=["c_acctbal"], frame_end=-1
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    w_in = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    return (
+        c.select("c_custkey", "c_acctbal")
+        .withColumn("rn_in", F.row_number().over(w_in))
+        .join(F.broadcast(base), "c_acctbal")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.col("base") + F.col("rn_in"))
+        .select(
+            "c_custkey",
+            F.expr(
+                "CAST(CASE WHEN rn <= (n % 4) * (n DIV 4 + 1) "
+                "THEN (rn - 1) DIV (n DIV 4 + 1) + 1 "
+                "ELSE n % 4 "
+                "+ (rn - (n % 4) * (n DIV 4 + 1) - 1) "
+                "DIV greatest(1, n DIV 4) + 1 END AS INT)"
+            ).alias("acctbal_quartile"),
+            F.round((F.col("rn") - 1) / (F.col("n") - 1), 9).alias("pct_rank"),
+            F.round(F.col("rn") / F.col("n"), 9).alias("cume"),
+        )
     )
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -149,8 +150,10 @@ def llm_length_powerlaw_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order; each ln ratio rounds to micro-nats independently and
     sums as BIGINT; α̂ closes as one identical double expression.
 
-    Scale: rank window selects k+1 rows — the TakeOrdered shape; no
-    full sort, no pair work; k is a constant, never data-sized.
+    Scale: the top-(k+1) selection is distributed — a bounded
+    distinct-length histogram gives base ranks, a broadcast prune keeps
+    only lengths that can reach rank k+1, and the residual rank is
+    length-partitioned; no full sort, no pair work; k is a constant.
 
     Degenerate-tail guard (round-5, ADVICE r4): if every top-k length
     ties with x₍ₖ₊₁₎, Σ ln_micro = 0 and the close would divide by
@@ -167,9 +170,24 @@ def llm_length_powerlaw_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", " ")).cast("long").alias("n_words"),
         )
     )
-    w = Window.orderBy(F.desc("n_words"), "doc_id")
-    ranked = lens.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= HILL_K + 1
+    # De-globalized top-(k+1) (r8): base = strictly-longer doc count from
+    # the bounded distinct-length histogram; only length values whose base
+    # can still reach rank k+1 join back (broadcast semi-prune), then the
+    # global rank is base + a length-partitioned row_number. No doc row
+    # funnels through one sort task.
+    hist = lens.groupBy("n_words").agg(F.count("*").alias("c"))
+    base = grid_cumsum(
+        hist,
+        [F.desc("n_words")],
+        [("base", "c")],
+        keep=["n_words"],
+        frame_end=-1,
+    ).where(F.col("base") <= HILL_K)
+    w_in = Window.partitionBy("n_words").orderBy("doc_id")
+    ranked = (
+        lens.join(F.broadcast(base), "n_words")
+        .withColumn("rn", F.col("base") + F.row_number().over(w_in))
+        .where(F.col("rn") <= HILL_K + 1)
     )
     xk = ranked.where(F.col("rn") == HILL_K + 1).select(
         F.col("n_words").alias("x_k1")

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -211,23 +212,27 @@ def ml_conformal_interval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = base.join(F.broadcast(model), "grp").select(
         "o_orderkey", F.abs(F.col("y") - F.col("yhat")).alias("r"), "is_cal"
     )
-    w_rank = Window.orderBy("r", "o_orderkey")
-    cal = (
-        resid.where("is_cal")
-        .select("r", "o_orderkey")
-        .withColumn("rn", F.row_number().over(w_rank))
-    )
-    n_cal = cal.agg(F.count("*").alias("n_cal"))
+    # De-globalized rank-k selection (r8): the conformal quantile only
+    # needs the residual VALUE at rank k under the (r, o_orderkey) total
+    # order, and rows tying on r share that value — so value-at-rank-k is
+    # the least r whose cumulative count reaches k (the distinct-value
+    # histogram recipe); no calibration row meets an unpartitioned window.
+    rhist = resid.where("is_cal").groupBy("r").agg(F.count("*").alias("c"))
+    rcum = grid_cumsum(rhist, ["r"], [("cum", "c")], keep=["r"])
+    n_cal = rhist.agg(F.sum("c").cast("long").alias("n_cal"))
     q = (
-        cal.crossJoin(F.broadcast(n_cal))
+        rcum.crossJoin(F.broadcast(n_cal))
         .where(
-            F.col("rn")
-            == F.expr(
+            F.col("cum")
+            >= F.expr(
                 f"least(n_cal, ((n_cal + 1) * (100 - {CONF_ALPHA_PCT}) + 99)"
                 " DIV 100)"
             )
         )
-        .select("n_cal", F.col("r").alias("q_cents"))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.min("r").alias("q_cents"),
+        )
     )
     return (
         resid.crossJoin(F.broadcast(q))

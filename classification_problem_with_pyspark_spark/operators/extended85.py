@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -213,12 +214,31 @@ def ml_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     from pyspark.sql.window import Window
 
-    w_rank = Window.orderBy(F.desc(F.round("pi", 6)), "s")
-    return pi.select(
-        F.col("s").alias("source"),
-        F.round("pi", 6).alias("strength"),
-        F.row_number().over(w_rank).cast("long").alias("rank"),
-    ).orderBy("source")
+    # De-globalized rank (r8): the (strength DESC, s) total order ranks
+    # via the distinct-strength histogram base + a strength-partitioned
+    # row_number — the post-checkpoint groupBy restores the Aggregate
+    # node the bounded-grid assertion checks for.
+    rows = pi.select("s", F.round("pi", 6).alias("strength"))
+    hist = rows.groupBy("strength").agg(F.count("*").alias("c"))
+    base = grid_cumsum(
+        hist,
+        [F.desc("strength")],
+        [("base", "c")],
+        keep=["strength"],
+        frame_end=-1,
+    )
+    w_in = Window.partitionBy("strength").orderBy("s")
+    return (
+        rows.join(F.broadcast(base), "strength")
+        .select(
+            F.col("s").alias("source"),
+            "strength",
+            (F.col("base") + F.row_number().over(w_in))
+            .cast("long")
+            .alias("rank"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

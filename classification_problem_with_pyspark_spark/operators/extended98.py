@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -98,15 +99,35 @@ def scalar_semver_ordering_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ver_num = (
         F.col("major") * 1_000_000 + F.col("minor") * 1_000 + F.col("patch")
     )
-    w_num = Window.orderBy(ver_num, "supp_key")
-    w_lex = Window.orderBy("ver", "supp_key")
+    # De-globalized ranks (r8): both total orders tie-break on supp_key,
+    # so each global rank = strictly-lower distinct-value count (bounded
+    # version-grid cumsum) + a value-partitioned row_number — no supplier
+    # row meets an unpartitioned window.
+    rows = v.select("supp_key", "ver", ver_num.cast("long").alias("ver_num"))
+
+    def _rank(col: str, name: str):
+        hist = rows.groupBy(col).agg(F.count("*").alias("c"))
+        return (
+            grid_cumsum(hist, [col], [("base", "c")], keep=[col], frame_end=-1),
+            Window.partitionBy(col).orderBy("supp_key"),
+            name,
+        )
+
+    num_base, w_num, _ = _rank("ver_num", "semver_rank")
+    lex_base, w_lex, _ = _rank("ver", "lexical_rank")
     return (
-        v.select(
+        rows.join(F.broadcast(num_base.withColumnRenamed("base", "nb")), "ver_num")
+        .join(F.broadcast(lex_base.withColumnRenamed("base", "lb")), "ver")
+        .select(
             "supp_key",
             "ver",
-            ver_num.cast("long").alias("ver_num"),
-            F.row_number().over(w_num).cast("long").alias("semver_rank"),
-            F.row_number().over(w_lex).cast("long").alias("lexical_rank"),
+            "ver_num",
+            (F.col("nb") + F.row_number().over(w_num))
+            .cast("long")
+            .alias("semver_rank"),
+            (F.col("lb") + F.row_number().over(w_lex))
+            .cast("long")
+            .alias("lexical_rank"),
         )
         .withColumn(
             "rank_diverges", F.col("semver_rank") != F.col("lexical_rank")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -217,9 +218,32 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = load(spark, sf_dir, "supplier")
     bal = F.when(F.col("s_acctbal") < 0, None).otherwise(F.col("s_acctbal"))
-    w = Window.orderBy(bal.desc_nulls_last(), F.col("s_suppkey").asc())
-    return s.select(
-        "s_suppkey",
-        bal.alias("bal_or_null"),
-        F.row_number().over(w).alias("pos"),
+    # De-globalized (r8): the DESC NULLS LAST total order still ranks via
+    # the distinct-balance histogram (NULL is just one more grid value,
+    # ordered last by desc_nulls_last on the bounded grid) + a
+    # balance-partitioned row_number — the nulls-ordering semantics stay
+    # hash-observable without a whole-relation sort task.
+    rows = s.select("s_suppkey", bal.alias("bal_or_null"))
+    hist = rows.groupBy("bal_or_null").agg(F.count("*").alias("c"))
+    base = grid_cumsum(
+        hist,
+        [F.col("bal_or_null").desc_nulls_last()],
+        [("base", "c")],
+        keep=["bal_or_null"],
+        frame_end=-1,
+    )
+    w_in = Window.partitionBy("bal_or_null").orderBy(F.col("s_suppkey").asc())
+    base_r = base.withColumnRenamed("bal_or_null", "grid_bal")
+    return (
+        # null-safe join: NULL balances are a real grid cell and must
+        # keep their rows (a plain equi-join would drop them)
+        rows.join(
+            F.broadcast(base_r),
+            F.col("bal_or_null").eqNullSafe(F.col("grid_bal")),
+        )
+        .select(
+            "s_suppkey",
+            "bal_or_null",
+            (F.col("base") + F.row_number().over(w_in)).alias("pos"),
+        )
     )

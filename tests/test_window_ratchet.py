@@ -44,11 +44,8 @@ PKG = Path(__file__).resolve().parent.parent / "classification_problem_with_pysp
 
 # file → (max allowed `Window.orderBy(` sites, boundedness argument)
 ORDERBY_ALLOWLIST = {
-    "plans/bounded_grid.py": (3, "grid: the SHARED bounded-grid window helpers (grid_cumsum / grid_rank / grid_shift, one ordered-window site each) — boundedness is asserted in code: the input's analyzed plan must contain Aggregate/Deduplicate, so every routed site is a post-aggregation distinct-value grid, never the fact relation; 62 former per-file sites across 39 operator files route here"),
+    "plans/bounded_grid.py": (3, "grid: the SHARED bounded-grid window helpers (grid_cumsum / grid_rank / grid_shift, one ordered-window site each) — boundedness is asserted in code: the input's analyzed plan must contain Aggregate/Deduplicate, so every routed site is a post-aggregation distinct-value grid, never the fact relation; 66 former per-file sites across 42 operator files route here"),
     "operators/extended4.py": (3, "documented: z-order OPTIMIZE — the write job's one legitimate global sort; docstring names broadcast quantile boundaries at scale"),
-    "operators/extended85.py": (1, "grid: per-supplier Bradley-Terry strengths"),
-    "operators/extended98.py": (2, "grid: per-supplier version rows"),
-    "operators/relational.py": (1, "dim: supplier top-n"),
 }
 
 # file → (max allowed empty `Window.partitionBy()` sites, argument).

@@ -73,6 +73,47 @@ def test_grid_shift_lag_and_lead(spark):
     assert out == {0: (None, 10), 1: (0, 20), 2: (10, None)}
 
 
+def test_grid_cumsum_rolling_frame_and_column_aggregates(spark):
+    grid = (
+        spark.range(5)
+        .groupBy("id")
+        .agg((F.first("id") + 1).alias("v"))
+    )
+    out = {
+        r["id"]: (r["n"], r["mx"], r["s"])
+        for r in grid_cumsum(
+            grid,
+            ["id"],
+            [("n", F.count("*")), ("mx", F.max("v")), ("s", "v")],
+            keep=["id"],
+            frame_start=-1,
+        ).collect()
+    }
+    # 2-row rolling frame: count, max(v), sum(v) over {prev, current}
+    assert out == {
+        0: (1, 1, 1),
+        1: (2, 2, 3),
+        2: (2, 3, 5),
+        3: (2, 4, 7),
+        4: (2, 5, 9),
+    }
+
+
+def test_grid_cumsum_running_max(spark):
+    grid = (
+        spark.range(4)
+        .groupBy("id")
+        .agg((F.first("id") * 7 % 5).alias("v"))  # 0,2,4,1
+    )
+    out = {
+        r["id"]: r["mx"]
+        for r in grid_cumsum(
+            grid, ["id"], [("mx", F.max("v"))], keep=["id"]
+        ).collect()
+    }
+    assert out == {0: 0, 1: 2, 2: 4, 3: 4}
+
+
 def test_grid_cumsum_accepts_distinct(spark):
     grid = spark.range(8).select((F.col("id") % 4).alias("v")).distinct()
     out = grid_cumsum(grid, [F.desc("v")], [("cum", "v")], keep=["v"])

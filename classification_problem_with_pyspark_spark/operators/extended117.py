@@ -233,6 +233,10 @@ def ml_conformal_interval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_cal").alias("n_cal"),
             F.min("r").alias("q_cents"),
         )
+        # An empty calibration subset makes the global agg emit one
+        # all-NULL row where the old rank-equality filter emitted zero
+        # rows; drop it so the downstream crossJoin stays empty (ADVICE r8).
+        .where(F.col("q_cents").isNotNull())
     )
     return (
         resid.crossJoin(F.broadcast(q))

@@ -3171,10 +3171,14 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the same t — back-to-back sessions never double-count — and the
     integer epoch keys make the order total on both engines.
 
-    Scale: the sweep's running sum is a single unpartitioned window over
-    2×sessions rows (session-sized, not event-sized); at true 100-TB
-    session counts, pre-aggregate deltas per time bucket (sum per
-    second), then sweep the bucket table — same plan, bounded rows.
+    Scale: the sweep pre-aggregates deltas PER DISTINCT SECOND (net delta
+    + row count per t) before the running sum, so the single
+    unpartitioned window sees one row per distinct boundary instant — a
+    true value-domain grid, not the session-scale delta stream (ADVICE
+    r8). Collapsing ties is peak-safe: within one instant the (t, delta)
+    ordering processes all −1s then all +1s, so the running value is
+    monotone down-then-up and its max is always attained at a group
+    boundary — the per-t net walk visits every boundary value.
     """
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3201,11 +3205,14 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp(F.max("ts")) + 1800).alias("end_s"),
         )
     )
-    deltas = sessions.select(
-        F.col("start_s").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(sessions.select(F.col("end_s").alias("t"), F.lit(-1).alias("delta")))
-    swept = grid_cumsum(deltas, ["t", "delta"], [("concurrent", "delta")], keep=[])
+    deltas = (
+        sessions.select(F.col("start_s").alias("t"), F.lit(1).alias("delta"))
+        .unionAll(sessions.select(F.col("end_s").alias("t"), F.lit(-1).alias("delta")))
+        .groupBy("t")
+        .agg(F.sum("delta").alias("delta"), F.count("*").alias("n_rows"))
+    )
+    swept = grid_cumsum(deltas, ["t"], [("concurrent", "delta")], keep=["n_rows"])
     return swept.agg(
         F.max("concurrent").alias("peak_concurrent_sessions"),
-        (F.count("*") / 2).cast("long").alias("n_sessions"),
+        (F.sum("n_rows") / 2).cast("long").alias("n_sessions"),
     )

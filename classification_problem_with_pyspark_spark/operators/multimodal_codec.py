@@ -194,15 +194,19 @@ def decode_bmp_rle8(data: bytes) -> np.ndarray:
         raise ValueError("bmp: bad dimensions")
     quads = np.frombuffer(data, dtype=np.uint8, count=1024, offset=14 + hdr_size)
     palette = quads.reshape(256, 4)[:, :3][:, ::-1].copy()  # BGR0 → RGB
-    # Bound the allocation by the maximum possible RLE expansion of the
-    # actual stream BEFORE trusting the header's h×w: every 2-byte packet
-    # (encoded run) writes at most 255 pixels, and absolute packets write
-    # fewer pixels per stream byte, so pixels <= 128 * stream_len. A tiny
-    # hostile file claiming e.g. 46000×46000 is rejected here instead of
-    # ballooning a ~2 GB zeros array.
+    # Bound the allocation with an ABSOLUTE pixel budget BEFORE trusting
+    # the header's h×w. (r9, ADVICE r8: the earlier stream-length-relative
+    # bound h*w <= 128*stream_len rejected spec-VALID sparse files — EOL /
+    # EOF / delta escapes legitimately skip arbitrarily large regions that
+    # default to palette index 0, so a mostly-background image can expand
+    # far past 128× its stream.) 64 Mpx caps the zeros array at 64 MB
+    # (192 MB after palette fan-out) per task — ample for any fixture and
+    # still rejects a tiny hostile file claiming e.g. 46000×46000.
     stream_len = len(data) - data_off
-    if stream_len <= 0 or h * w > 128 * stream_len:
-        raise ValueError("bmp: declared dimensions exceed max RLE expansion")
+    if stream_len <= 0:
+        raise ValueError("bmp: empty RLE stream")
+    if h * w > 64 * 1024 * 1024:
+        raise ValueError("bmp: declared dimensions exceed the pixel budget")
     idx = np.zeros((h, w), dtype=np.uint8)  # row 0 = bottom scanline
     x = y = 0
     pos = data_off

@@ -203,7 +203,11 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "+ (rn - (n % 4) * (n DIV 4 + 1) - 1) "
                 "DIV greatest(1, n DIV 4) + 1 END AS INT)"
             ).alias("acctbal_quartile"),
-            F.round((F.col("rn") - 1) / (F.col("n") - 1), 9).alias("pct_rank"),
+            # greatest(1, n-1): percent_rank() returns 0.0 (not NULL) for a
+            # 1-row relation — guard the closed form the same way as ntile.
+            F.round((F.col("rn") - 1) / F.greatest(F.lit(1), F.col("n") - 1), 9).alias(
+                "pct_rank"
+            ),
             F.round(F.col("rn") / F.col("n"), 9).alias("cume"),
         )
     )

@@ -9,12 +9,15 @@ window: callers hand it a post-aggregation grid and the helper ASSERTS
 the plan shape at build time, turning the window-ratchet allowlist's
 prose boundedness argument into enforced code.
 
-The assertion is structural: the grid's analyzed logical plan must
-contain an ``Aggregate`` (``groupBy().agg``) or ``Deduplicate``
-(``distinct()``) node, i.e. the relation entering the single-partition
-window is one row per distinct key cell. A raw fact-table scan piped
-straight into ``grid_cumsum`` fails immediately, at plan-build time, on
-every SF — the failure mode the allowlist could only describe.
+The assertion is structural and LINEAGE-AWARE (round 9, ADVICE r8
+medium): it walks the analyzed logical plan tree and requires EVERY
+root-to-leaf path to pass through an ``Aggregate`` (``groupBy().agg``)
+or ``Deduplicate`` (``distinct()``) node before reaching a source
+relation — literal relations (``LocalRelation``/``OneRowRelation``)
+count as bounded leaves. Joins require ALL branches bounded, so the
+earlier loophole — a raw fact scan ``crossJoin(broadcast(tot))`` where
+only the tiny total side was aggregated — now fails at plan-build time
+instead of funnelling fact-scale rows through one WindowExec task.
 """
 
 from __future__ import annotations
@@ -28,16 +31,45 @@ from pyspark.sql.window import Window
 __all__ = ["grid_cumsum", "grid_rank", "grid_shift"]
 
 
+# Nodes that bound their whole subtree: one output row per distinct cell.
+_BOUNDING = {"Aggregate", "Deduplicate"}
+# Leaves that are bounded by construction (driver-side literal data).
+# LogicalRDD is what spark.createDataFrame(<python rows>) analyzes to;
+# nothing else in this engine produces RDD-backed plans (collect/RDD use
+# is ratcheted), so it is literal-sized here.
+_LITERAL_LEAVES = {"LocalRelation", "OneRowRelation", "LogicalRDD"}
+
+
+def _lineage_bounded(node) -> bool:
+    """True iff every root-to-leaf path in the analyzed plan below `node`
+    passes through an Aggregate/Deduplicate (pruned: stop at the first
+    bounding node) or ends in a literal relation. Source scans
+    (LogicalRelation / DataSourceV2Relation / file scans) that are NOT
+    under a bounding node make the lineage unbounded; joins require ALL
+    branches bounded, so fact ⨯ broadcast(aggregate) no longer passes."""
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDING:
+        return True
+    children = node.children()
+    n = children.size()
+    if n == 0:
+        return name in _LITERAL_LEAVES
+    return all(_lineage_bounded(children.apply(i)) for i in range(n))
+
+
 def _assert_bounded_grid(grid: DataFrame) -> None:
     """Fail fast unless `grid` is post-aggregation (one row per distinct
-    value cell). Plan-string check on the ANALYZED plan — zero jobs run."""
-    plan = grid._jdf.queryExecution().analyzed().toString()
-    if "Aggregate" not in plan and "Deduplicate" not in plan:
+    value cell) along EVERY input lineage. Tree walk on the ANALYZED
+    logical plan — zero jobs run (ADVICE r8: the previous substring check
+    passed if ANY Aggregate appeared anywhere, so a fact-scale relation
+    cross-joined with a tiny aggregated total slipped through)."""
+    if not _lineage_bounded(grid._jdf.queryExecution().analyzed()):
         raise AssertionError(
             "grid_cumsum input must be a post-aggregation distinct-value "
-            "grid (no Aggregate/Deduplicate node in its analyzed plan); "
-            "an unaggregated relation would funnel the fact table through "
-            "a single WindowExec task"
+            "grid: every lineage path in its analyzed plan must pass "
+            "through an Aggregate/Deduplicate (or end in a literal "
+            "relation); an unaggregated branch would funnel fact-scale "
+            "rows through a single WindowExec task"
         )
 
 

@@ -118,3 +118,38 @@ def test_grid_cumsum_accepts_distinct(spark):
     grid = spark.range(8).select((F.col("id") % 4).alias("v")).distinct()
     out = grid_cumsum(grid, [F.desc("v")], [("cum", "v")], keep=["v"])
     assert {r["v"]: r["cum"] for r in out.collect()} == {3: 3, 2: 5, 1: 6, 0: 6}
+
+
+def test_grid_cumsum_rejects_fact_crossjoin_broadcast_aggregate(spark):
+    """The r8 substring check's loophole (ADVICE r8 medium): a raw
+    fact-scale relation cross-joined with a tiny broadcast aggregate
+    total contains an Aggregate node SOMEWHERE in the plan, but the
+    fact branch still funnels every row through one WindowExec task.
+    The r9 lineage walk requires ALL join branches bounded."""
+    fact = spark.range(10).select(F.col("id").alias("score"))
+    tot = fact.agg(F.count("*").alias("n"))
+    leaky = fact.crossJoin(F.broadcast(tot))
+    with pytest.raises(AssertionError, match="post-aggregation"):
+        grid_cumsum(leaky, ["score"], [("cum", "score")], keep=["score"])
+
+
+def test_grid_cumsum_rejects_union_with_unbounded_branch(spark):
+    agg = spark.range(6).groupBy((F.col("id") % 2).alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    mixed = agg.select("v").unionAll(spark.range(3).select(F.col("id").alias("v")))
+    with pytest.raises(AssertionError, match="post-aggregation"):
+        grid_cumsum(mixed, ["v"], [("cum", "v")], keep=["v"])
+
+
+def test_grid_cumsum_accepts_join_of_two_aggregates_and_literals(spark):
+    a = spark.range(6).groupBy((F.col("id") % 3).alias("k")).agg(
+        F.count("*").alias("ca")
+    )
+    b = spark.range(6).groupBy((F.col("id") % 3).alias("k")).agg(
+        F.sum("id").alias("sb")
+    )
+    lit = spark.createDataFrame([(0, 10), (1, 20), (2, 30)], ["k", "w"])
+    grid = a.join(b, "k").join(lit, "k")
+    out = grid_cumsum(grid, ["k"], [("cum", "ca")], keep=["k", "sb", "w"])
+    assert {r["k"]: r["cum"] for r in out.collect()} == {0: 2, 1: 4, 2: 6}

@@ -362,21 +362,40 @@ def test_bmp_rle8_rejects_malformed(mutate, err):
         decode_bmp_rle8(data)
 
 
-def test_bmp_rle8_rejects_hostile_dimensions():
-    """A tiny file whose header claims huge h×w must be rejected BEFORE
-    the (h, w) zeros allocation — the allocation is bounded by the max
-    RLE expansion of the actual stream (≤128 pixels per stream byte),
-    not trusted to the header (r8, ADVICE item)."""
-    stream = bytes((0, 1))  # immediate end-of-bitmap: 2 bytes
+def _rle8_file(h, w, stream):
     quads = np.zeros((256, 4), dtype=np.uint8)
+    quads[0, 2] = 7  # palette[0] = RGB (7, 0, 0) so background is visible
     data_off = 14 + 40 + 1024
     header = struct.pack("<2sIHHI", b"BM", data_off + len(stream), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream), 0, 0, 256, 0)
+    return header + info + quads.tobytes() + stream
+
+
+def test_bmp_rle8_rejects_hostile_dimensions():
+    """A tiny file whose header claims huge h×w must be rejected BEFORE
+    the (h, w) zeros allocation — via the ABSOLUTE 64 Mpx budget (r9,
+    ADVICE r8: the earlier stream-relative bound rejected spec-valid
+    sparse files)."""
+    stream = bytes((0, 1))  # immediate end-of-bitmap: 2 bytes
     # claims 46000×46000 (~2 GB as uint8) from a ~1 KB file
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, 46000, 46000, 1, 8, 1, len(stream), 0, 0, 256, 0
-    )
-    with pytest.raises(ValueError, match="exceed max RLE expansion"):
-        decode_bmp_rle8(header + info + quads.tobytes() + stream)
+    with pytest.raises(ValueError, match="exceed the pixel budget"):
+        decode_bmp_rle8(_rle8_file(46000, 46000, stream))
+
+
+def test_bmp_rle8_sparse_skip_heavy_file_decodes():
+    """Spec-valid skip-heavy RLE8: EOL/EOF/delta escapes may skip
+    arbitrarily large regions (implicitly palette index 0), so a
+    1000×1000 image whose stream is a lone pixel run plus end-of-bitmap
+    (h*w far above 128× the stream length) must DECODE, not be rejected
+    (r9, ADVICE r8)."""
+    # one 5-px run of palette index 3 at (0,0), delta to skip, then EOF
+    stream = bytes((5, 3, 0, 2, 10, 10, 0, 1))
+    out = decode_bmp_rle8(_rle8_file(1000, 1000, stream))
+    assert out.shape == (1000, 1000, 3)
+    assert np.array_equal(out[999, :5], np.zeros((5, 3), dtype=np.uint8))
+    # everything else is background palette[0] = (7, 0, 0)
+    assert np.array_equal(out[0, 0], np.array([7, 0, 0], dtype=np.uint8))
+    assert int((out[..., 0] == 7).sum()) == 1000 * 1000 - 5
 
 
 def test_decode_bmp_dispatches_on_compression():

@@ -44,7 +44,7 @@ PKG = Path(__file__).resolve().parent.parent / "classification_problem_with_pysp
 
 # file → (max allowed `Window.orderBy(` sites, boundedness argument)
 ORDERBY_ALLOWLIST = {
-    "plans/bounded_grid.py": (3, "grid: the SHARED bounded-grid window helpers (grid_cumsum / grid_rank / grid_shift, one ordered-window site each) — boundedness is asserted in code: the input's analyzed plan must contain Aggregate/Deduplicate, so every routed site is a post-aggregation distinct-value grid, never the fact relation; 74 of the 77 per-file sites at r8 open either route here (43 importing operator files) or were de-globalized outright; only the z-order write sort remains"),
+    "plans/bounded_grid.py": (3, "grid: the SHARED bounded-grid window helpers (grid_cumsum / grid_rank / grid_shift, one ordered-window site each) — boundedness is ENFORCED by a lineage walk (r9, ADVICE r8 medium): every root-to-leaf path of the input's analyzed plan must pass through Aggregate/Deduplicate or end in a literal relation, joins require ALL branches bounded — so every routed site is a post-aggregation distinct-value grid, never the fact relation (the fact-crossJoin-broadcast(agg) loophole of the old substring check is regression-tested); 74 of the 77 per-file sites at r8 open either route here (43 importing operator files) or were de-globalized outright; only the z-order write sort remains"),
     "operators/extended4.py": (3, "documented: z-order OPTIMIZE — the write job's one legitimate global sort; docstring names broadcast quantile boundaries at scale"),
 }
 

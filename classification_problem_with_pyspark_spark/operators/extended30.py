@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -97,9 +96,10 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2e6·cov2; the sign ships separately, so (sign, ρ²) determines ρ
     with zero floats anywhere.
 
-    Scale: one per-user aggregate, two rank windows over the bounded
-    distinct-value grids, equi-joins back — no pair join, no sort of
-    raw facts beyond the rank grids.
+    Scale: one per-user aggregate, two bucket-stitch midrank maps (r9:
+    the spend-cents value grid grows with the user count, so its
+    cumsum is bucketed — only the bucket GRID meets a single-task
+    window), equi-joins back — no pair join, no entity-scale sort.
     """
     e = load(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(
@@ -112,12 +112,23 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
 
-    def rank2(col: str) -> DataFrame:
-        return grid_cumsum(
+    # r9: the y (per-user spend cents) value grid is ENTITY-scale —
+    # distinct totals grow with the user count — so the strictly-before
+    # cumsum over each distinct-value histogram is the bucket-stitch
+    # form: the only single-task window is the value-BUCKET grid
+    # (x counts use bucket==value, the bounded small-int domain; y uses
+    # 2^16-cents buckets), per-value work hash-partitioned by bucket.
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_cumsum,
+    )
+
+    def rank2(col: str, bits: int) -> DataFrame:
+        return bucketed_global_cumsum(
             u.groupBy(col).agg(F.count("*").alias("c")),
-            [col],
+            col,
+            [],
             [("cum_prev", "c")],
-            keep=[col, "c"],
+            bucket_bits=bits,
             frame_end=-1,
         ).select(
             col,
@@ -125,8 +136,8 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ranked = (
-        u.join(rank2("x"), "x")
-        .join(rank2("y"), "y")
+        u.join(rank2("x", 0), "x")
+        .join(rank2("y", 16), "y")
         .select("user_id", "rx2", "ry2")
     )
     tot = ranked.agg(F.count("*").cast("long").alias("n_rows_total"))

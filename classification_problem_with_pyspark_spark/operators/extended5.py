@@ -2734,18 +2734,36 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     review opens with (and the skew signal that tells the engine which
     user keys need salting — audit_key_skew's commercial twin).
 
-    Shape: one fact-sized groupBy to user totals (int64 cents), a global
-    NTILE over the user-total table (users ≪ events — the sort is on the
-    aggregate, never the fact), a 10-row rollup, and a 10-row cumulative
-    window. Total rides as a 1-row broadcast.
+    Shape: one fact-sized groupBy to user totals (int64 cents), then the
+    NTILE as a CLOSED FORM of the bucket-stitch global rank (r9: the
+    user-total table is ENTITY-scale — it grows with the fact table — so
+    the former single-task ntile sort was the 100×-scale bottleneck;
+    now the only single-task window is over the non-empty cents-BUCKET
+    grid, bounded by the value range / 2^16, and the per-user ranking is
+    hash-partitioned by bucket), a 10-row rollup, and a 10-row
+    cumulative window. Totals ride as 1-row broadcasts.
     """
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_rank,
+        closed_form_ntile,
+    )
+
     e = load(spark, sf_dir, "events")
     totals = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
     )
-    deciled = grid_rank(
-        totals, [F.desc("c"), F.asc("user_id")], "decile", fn=F.ntile(10)
-    ).select("user_id", "c", "decile")
+    n_users_tot = totals.agg(F.count("*").cast("long").alias("n_users_tot"))
+    deciled = (
+        bucketed_global_rank(
+            totals, "c", [F.asc("user_id")], descending=True, bucket_bits=16
+        )
+        .crossJoin(F.broadcast(n_users_tot))
+        .select(
+            "user_id",
+            "c",
+            closed_form_ntile(F.col("rn"), F.col("n_users_tot"), 10).alias("decile"),
+        )
+    )
     per_decile = deciled.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("c").alias("dc")
     )
@@ -2859,9 +2877,14 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the 'rfm' segment label marketing routes on (e.g. '111' =
     champions, '555' = lost).
 
-    Shape: one fact groupBy to user aggregates, three NTILEs over the
-    USER table (aggregate-sized sorts, never the fact), a label rollup.
-    The corpus max rides as a broadcast 1-row cross join.
+    Shape: one fact groupBy to user aggregates, then each NTILE as a
+    CLOSED FORM of the bucket-stitch global rank (r9: the user table is
+    ENTITY-scale, so the former three single-task ntile sorts were the
+    100×-scale bottleneck; now the only single-task windows are over
+    value-domain grids — recency days and frequency counts verbatim,
+    monetary cents in 2^16 buckets — and all per-user ranking is
+    hash-partitioned), a label rollup. The corpus max and the user
+    count ride as broadcast 1-row cross joins.
     """
     e = load(spark, sf_dir, "events")
     maxd = e.agg(F.max("ts").alias("corpus_max"))
@@ -2880,22 +2903,31 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c",
         )
     )
-    scored = grid_rank(
-        grid_rank(
-            grid_rank(
-                per_user,
-                [F.asc("recency_days"), F.asc("user_id")],
-                "r_score",
-                fn=F.ntile(5),
-            ),
-            [F.desc("frequency"), F.asc("user_id")],
-            "f_score",
-            fn=F.ntile(5),
-        ),
-        [F.desc("monetary_c"), F.asc("user_id")],
-        "m_score",
-        fn=F.ntile(5),
-    ).select("user_id", "monetary_c", "r_score", "f_score", "m_score")
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_rank,
+        closed_form_ntile,
+    )
+
+    n_users = per_user.agg(F.count("*").cast("long").alias("__n_users"))
+
+    def quintile(df, value_col, descending, bits, out):
+        ranked = bucketed_global_rank(
+            df,
+            value_col,
+            [F.asc("user_id")],
+            descending=descending,
+            bucket_bits=bits,
+            out="__rn",
+        )
+        return ranked.withColumn(
+            out, closed_form_ntile(F.col("__rn"), F.col("__n_users"), 5)
+        ).drop("__rn")
+
+    scored = per_user.crossJoin(F.broadcast(n_users))
+    scored = quintile(scored, "recency_days", False, 0, "r_score")
+    scored = quintile(scored, "frequency", True, 0, "f_score")
+    scored = quintile(scored, "monetary_c", True, 16, "m_score")
+    scored = scored.select("user_id", "monetary_c", "r_score", "f_score", "m_score")
     return (
         scored.select(
             F.concat(
@@ -3078,11 +3110,16 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         paths.groupBy("path")
         .agg(F.count("*").alias("n_sessions"), F.max("path_len").alias("path_len"))
     )
-    ranked = (
-        grid_rank(ranked, [F.desc("n_sessions"), F.asc("path")], "rk")
-        .where(F.col("rk") <= 15)
-        .drop("rk")
+    # r9: the per-path rollup grows with the corpus (unique long-session
+    # paths), so the top-15 is the bucket-stitch top-k — only head
+    # n_sessions-count buckets get ranked, hash-partitioned by count.
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_topk,
     )
+
+    ranked = bucketed_global_topk(
+        ranked, "n_sessions", [F.asc("path")], 15, out="rk"
+    ).drop("rk")
     return ranked
 
 

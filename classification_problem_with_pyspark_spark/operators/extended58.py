@@ -31,7 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
+from classification_problem_with_pyspark_spark.plans.global_rank import (
+    bucketed_global_cumsum,
+)
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -99,11 +101,11 @@ def agg_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-micro cumulative share. Every class boundary is an integer
     comparison both engines replay bit-identically.
 
-    Scale: one fact aggregate to |parts| rows, then one ordered
-    cumulative window over the DIM-sized relation and a 9-row census.
-    The global revenue order is over parts, not lineitems — the
-    classic "aggregate first, rank second" shape that keeps Pareto
-    analysis cheap at 100 TB.
+    Scale: one fact aggregate to |parts| rows, then the cumulative
+    revenue as a BUCKET-STITCH running sum (r9: parts grow with SF, so
+    even the |parts| window must not be one task — the only single-task
+    window is the 2^16-cents-bucket grid cumsum; the per-part running
+    sum is hash-partitioned by bucket) and a 9-row census.
     """
     per_part = load(spark, sf_dir, "lineitem").groupBy(
         F.col("l_partkey").alias("part")
@@ -118,11 +120,13 @@ def agg_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
     )
     tot = per_part.agg(F.sum("rev").alias("tot_rev"))
-    ranked = grid_cumsum(
+    ranked = bucketed_global_cumsum(
         per_part.crossJoin(F.broadcast(tot)),
-        [F.desc("rev"), "part"],
+        "rev",
+        ["part"],
         [("cum_rev", "rev")],
-        keep=["*"],
+        descending=True,
+        bucket_bits=16,
     )
     share = F.expr("(1000000 * cum_rev) DIV tot_rev")
     cv2 = F.expr("(1000000 * (n * q - s * s)) DIV (s * s)")

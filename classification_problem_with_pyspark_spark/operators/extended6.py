@@ -628,9 +628,16 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.groupBy("o_custkey")
         .agg(F.count("*").alias("true_cnt"), F.first("p0").alias("p0"), F.first("p1").alias("p1"))
     )
-    truth = grid_rank(
-        truth, [F.desc("true_cnt"), F.asc("o_custkey")], "rk"
-    ).where(F.col("rk") <= 10)
+    # r9: the per-customer truth table is ENTITY-scale, so the top-10
+    # selection is the bucket-stitch top-k — only head count-buckets are
+    # ranked, each hash-partitioned; no customer-scale single-task sort.
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_topk,
+    )
+
+    truth = bucketed_global_topk(
+        truth, "true_cnt", [F.asc("o_custkey")], 10, out="rk"
+    )
     est = F.least(F.col("cnt0"), F.col("cnt1"))
     return (
         truth.join(F.broadcast(row0), truth.p0 == row0.pos)

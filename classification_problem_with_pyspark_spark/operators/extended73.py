@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
+from classification_problem_with_pyspark_spark.plans.global_rank import (
+    bucketed_global_rank,
+    closed_form_ntile,
+)
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -181,9 +184,10 @@ def window_decile_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     Exactness: integer cents, ranks, counts.
 
     Scale: the fact reduces to per-(part, period) revenue first
-    (map-side combinable); the ntile windows run over the DIM-sized
-    part relation, and the matrix join is on the part key. The
-    global sorts are over |parts|, never |lineitem|.
+    (map-side combinable); each ntile is the closed form of the
+    bucket-stitch global rank (r9 — parts grow with SF, so even the
+    |parts| sort must not be one task), and the matrix join is on
+    the part key. No global sort anywhere.
     """
     li = load(spark, sf_dir, "lineitem")
     sales = (
@@ -197,13 +201,23 @@ def window_decile_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("part", "period")
         .agg(F.sum("c").cast("long").alias("rev"))
     )
-    order = [F.desc("rev"), "part"]
-    d1 = grid_rank(
-        sales.where(F.col("period") == 1), order, "decile_from", fn=F.ntile(10)
-    ).select("part", "decile_from")
-    d2 = grid_rank(
-        sales.where(F.col("period") == 2), order, "decile_to", fn=F.ntile(10)
-    ).select("part", "decile_to")
+    # r9: the per-part revenue relation is ENTITY-scale (parts grow with
+    # SF), so each period's ntile is the closed form of the bucket-stitch
+    # global rank — the only single-task window is the 2^16-cents-bucket
+    # grid cumsum; per-part ranking is hash-partitioned by bucket.
+    def decile(df, out):
+        n = df.agg(F.count("*").cast("long").alias("__n"))
+        return (
+            bucketed_global_rank(
+                df, "rev", ["part"], descending=True, bucket_bits=16, out="__rn"
+            )
+            .crossJoin(F.broadcast(n))
+            .withColumn(out, closed_form_ntile(F.col("__rn"), F.col("__n"), 10))
+            .select("part", out)
+        )
+
+    d1 = decile(sales.where(F.col("period") == 1), "decile_from")
+    d2 = decile(sales.where(F.col("period") == 2), "decile_to")
     return (
         d1.join(d2, "part")
         .groupBy(

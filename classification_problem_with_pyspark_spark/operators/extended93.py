@@ -32,7 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
+from classification_problem_with_pyspark_spark.plans.global_rank import (
+    bucketed_global_topk,
+)
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -96,9 +98,11 @@ def ml_uncertainty_margin_sampling(spark: SparkSession, sf_dir: str) -> DataFram
     (margin ASC, vec_id) is total.
 
     Scale: one scores scan + a per-row rank bounded by the class
-    count + one global bottom-B rank — batch selection at corpus
-    scale is this plan with the global rank replaced by an
-    approx-threshold prefilter, exactly as the tail keys document.
+    count + the bottom-B selection as a bucket-stitch top-k (r9: the
+    margins table is ENTITY-scale — one row per vector — so the former
+    whole-relation rank was one task; now only head margin-value
+    buckets are ranked, hash-partitioned, with the bucket-grid cumsum
+    the only single-task window).
     """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("label").cast("long").alias("y")
@@ -140,8 +144,9 @@ def ml_uncertainty_margin_sampling(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("margin"),
     )
     return (
-        grid_rank(margins, ["margin", "vec_id"], "pick")
-        .where(F.col("pick") <= SAMPLE_B)
+        bucketed_global_topk(
+            margins, "margin", ["vec_id"], SAMPLE_B, descending=False, out="pick"
+        )
         .groupBy(F.col("y").alias("label"))
         .agg(
             F.count("*").alias("n_selected"),

@@ -21,9 +21,9 @@ integer sum (the entropy-key discipline).
 
 Scale posture (SURVEY.md §7.6): Lindley is two growing-frame windows per
 user partition — no shrinking frames, no cross-user state; PSI's edge
-scan is one ordered cumulative window over the distinct-cents histogram
-(swap for precomputed / approx-quantile edges at 100 TB; bin assignment
-and counting stay map-side).
+scan is the bucket-stitch cumsum over the reference per-cents histogram
+(r10 — the only single-task window is the 2^16-cents bucket grid; bin
+assignment and counting stay map-side).
 """
 
 from __future__ import annotations
@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -233,23 +232,34 @@ def ml_psi_feature_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-nats independently (entropy-key discipline — no float SUM
     crosses engines).
 
-    Scale: the edge scan is one cumulative window over the distinct-
-    cents histogram of the REFERENCE period only (at 100 TB: use
-    precomputed edges or percentile_approx with pinned accuracy); bin
-    assignment is a 9-edge broadcast comparison, counting is one
-    map-side-combinable groupBy.
+    Scale: the edge scan is the bucket-stitch cumsum over the reference
+    period's per-cents histogram (r10: distinct cents track the order
+    count, so the only single-task window is the 2^16-cents bucket
+    grid); bin assignment is a 9-edge broadcast comparison, counting is
+    one map-side-combinable groupBy.
     """
     o = load(spark, sf_dir, "orders").select(
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
         F.when(F.col("o_orderdate") < PSI_SPLIT, 0).otherwise(1).alias("period"),
     )
     ref = o.where(F.col("period") == 0)
-    hist = grid_cumsum(
-        ref.groupBy("cents").agg(F.count("*").alias("c")),
-        ["cents"],
-        [("cum", "c")],
-        keep=["cents"],
+    # r10: the distinct-cents histogram of the reference period is NOT
+    # value-domain bounded (order prices are near-unique: 5.5k→55k rows
+    # through one WindowExec task, caught by the grid cardinality
+    # tripwire) — the edge-scan cumsum is the bucket-stitch form: the
+    # only single-task window is the 2^16-cents bucket grid (price range
+    # ~5e7 cents → ≤763 buckets at any SF).
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_cumsum,
     )
+
+    hist = bucketed_global_cumsum(
+        ref.groupBy("cents").agg(F.count("*").alias("c")),
+        "cents",
+        [],
+        [("cum", "c")],
+        bucket_bits=16,
+    ).select("cents", "cum")
     na = ref.agg(F.count("*").alias("na"))
     edges = hist.crossJoin(F.broadcast(na)).agg(
         *[

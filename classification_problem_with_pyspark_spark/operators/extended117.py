@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -212,13 +211,24 @@ def ml_conformal_interval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = base.join(F.broadcast(model), "grp").select(
         "o_orderkey", F.abs(F.col("y") - F.col("yhat")).alias("r"), "is_cal"
     )
-    # De-globalized rank-k selection (r8): the conformal quantile only
-    # needs the residual VALUE at rank k under the (r, o_orderkey) total
-    # order, and rows tying on r share that value — so value-at-rank-k is
-    # the least r whose cumulative count reaches k (the distinct-value
-    # histogram recipe); no calibration row meets an unpartitioned window.
+    # De-globalized rank-k selection (r8; bucket-stitched r10): the
+    # conformal quantile only needs the residual VALUE at rank k under
+    # the (r, o_orderkey) total order, and rows tying on r share that
+    # value — so value-at-rank-k is the least r whose cumulative count
+    # reaches k. The distinct-residual histogram is NOT value-domain
+    # bounded (cents residuals are near-unique: 4.9k→49.8k rows through
+    # one WindowExec task, caught by the grid cardinality tripwire), so
+    # the cumsum is the bucket-stitch form: the only single-task window
+    # is the 2^16-cents bucket grid (residual range ≤ ~5e7 cents → ≤763
+    # buckets at any SF).
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_cumsum,
+    )
+
     rhist = resid.where("is_cal").groupBy("r").agg(F.count("*").alias("c"))
-    rcum = grid_cumsum(rhist, ["r"], [("cum", "c")], keep=["r"])
+    rcum = bucketed_global_cumsum(
+        rhist, "r", [], [("cum", "c")], bucket_bits=16
+    ).select("r", "cum")
     n_cal = rhist.agg(F.sum("c").cast("long").alias("n_cal"))
     q = (
         rcum.crossJoin(F.broadcast(n_cal))

@@ -31,9 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank, grid_shift
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -66,12 +65,12 @@ def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORACLE states the semantics directly (NOT EXISTS dominance —
     quadratic, feasible only through DuckDB's IEJoin), while the Spark
     side reduces to the PER-PRICE-GROUP table first: collapse to one
-    row per distinct price (group max date), take a RUNNING max over
-    prices descending (a growing ROWS frame Spark evaluates
-    incrementally), lag it by one group to get "max date among strictly
-    higher-priced", and join the two bounded columns back on price. A
-    row survives iff that lagged cummax is < its date and it carries
-    its own price group's max date.
+    row per distinct price (group max date), take the strictly-before
+    RUNNING max over prices descending — the bucket-stitch cummax, so
+    "max date among strictly higher-priced" never funnels the per-price
+    relation through one task — and join back on price. A row survives
+    iff that running max is < its date and it carries its own price
+    group's max date.
 
     [MEASURED] The first cut phrased "strictly higher-priced" as ONE
     rangeBetween(1, unboundedFollowing) window — semantically identical,
@@ -95,15 +94,23 @@ def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_price = o.select("cents", days.alias("dd")).groupBy("cents").agg(
         F.max("dd").alias("m_equal")
     )
-    frontier = grid_shift(
-        grid_cumsum(
-            per_price,
-            [F.desc("cents")],
-            [("cummax", F.max("m_equal"))],
-            keep=["cents", "m_equal"],
-        ),
-        [F.desc("cents")],
-        [("m_higher", "cummax", -1)],
+    # r10: distinct order prices are near-unique, so the per-price grid
+    # tracked the order count (caught by the cardinality tripwire). The
+    # strictly-higher-priced running max is now the bucket-stitch cummax:
+    # the only single-task window is the 2^16-cents bucket grid (bounded
+    # by the price RANGE), per-price work hash-partitioned by bucket.
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_cummax,
+    )
+
+    frontier = bucketed_global_cummax(
+        per_price,
+        "cents",
+        [],
+        [("m_higher", "m_equal")],
+        descending=True,
+        bucket_bits=16,
+        frame_end=-1,
     ).select(
         "cents",
         "m_equal",
@@ -154,41 +161,39 @@ def agg_lorenz_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: integer cents sums; one floor(1e6·cum/total) per decile
     row (single expression, identical both engines).
 
-    Scale: the exact ntile is computed in CLOSED FORM — distinct-cents
-    histogram base ranks + a cents-partitioned row_number — so no order
-    row ever funnels through a single-task sort; the only unpartitioned
-    windows run over the bounded distinct-cents grid and the 10-row
-    decile table. The same plan shape survives 100 TB unchanged.
+    Scale: the exact ntile is computed in CLOSED FORM of the
+    bucket-stitch global rank (plans/global_rank.py) — the only
+    unpartitioned windows run over the 2^16-cents BUCKET grid (bounded
+    by the price RANGE, not the order count) and the 10-row decile
+    table. The same plan shape survives 100 TB unchanged.
     """
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    # Closed-form ntile (r8 de-globalization): global rank = strictly-
-    # lower-cents count (bounded distinct-cents grid cumsum) + the
-    # cents-partitioned row_number; SQL ntile(k) is then a pure function
-    # of (rank, n). No order row passes through a single-task sort.
-    hist = o.groupBy("cents").agg(F.count("*").alias("c"))
-    base = grid_cumsum(
-        hist, ["cents"], [("base", "c")], keep=["cents"], frame_end=-1
+    # Closed-form ntile over the BUCKET-STITCH global rank (r10: the r8
+    # distinct-cents histogram is NOT a value-domain grid — order prices
+    # are near-unique, so its cardinality tracked the order count
+    # (15k→150k rows through one WindowExec task, caught by the grid
+    # cardinality tripwire). 2^16-cents buckets bound the only
+    # single-task window by the PRICE RANGE (~5e7 cents → ≤763 buckets
+    # at any SF); per-order ranking is hash-partitioned by bucket.
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_rank,
+        closed_form_ntile,
     )
-    tot_n = hist.agg(F.sum("c").cast("long").alias("n_rows"))
-    w_in = Window.partitionBy("cents").orderBy("o_orderkey")
-    deciles = (
-        o.withColumn("rn_in", F.row_number().over(w_in))
-        .join(F.broadcast(base), "cents")
-        .crossJoin(F.broadcast(tot_n))
-        .withColumn("rn", F.col("base") + F.col("rn_in"))
-        .select(
-            "cents",
-            F.expr(
-                "CAST(CASE WHEN rn <= (n_rows % 10) * (n_rows DIV 10 + 1) "
-                "THEN (rn - 1) DIV (n_rows DIV 10 + 1) + 1 "
-                "ELSE n_rows % 10 "
-                "+ (rn - (n_rows % 10) * (n_rows DIV 10 + 1) - 1) "
-                "DIV greatest(1, n_rows DIV 10) + 1 END AS INT)"
-            ).alias("dec"),
-        )
+
+    tot_n = o.agg(F.count("*").cast("long").alias("n_rows"))
+    deciles = bucketed_global_rank(
+        o.crossJoin(F.broadcast(tot_n)),
+        "cents",
+        [F.asc("o_orderkey")],
+        descending=False,
+        bucket_bits=16,
+        out="rn",
+    ).select(
+        "cents",
+        closed_form_ntile(F.col("rn"), F.col("n_rows"), 10).alias("dec"),
     )
     per = deciles.groupBy("dec").agg(
         F.count("*").alias("n"), F.sum("cents").cast("long").alias("s")

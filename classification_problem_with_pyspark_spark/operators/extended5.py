@@ -3209,13 +3209,15 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer epoch keys make the order total on both engines.
 
     Scale: the sweep pre-aggregates deltas PER DISTINCT SECOND (net delta
-    + row count per t) before the running sum, so the single
-    unpartitioned window sees one row per distinct boundary instant — a
-    true value-domain grid, not the session-scale delta stream (ADVICE
-    r8). Collapsing ties is peak-safe: within one instant the (t, delta)
-    ordering processes all −1s then all +1s, so the running value is
-    monotone down-then-up and its max is always attained at a group
-    boundary — the per-t net walk visits every boundary value.
+    + row count per t) and runs the running sum as the BUCKET-STITCH
+    cumsum (r10: distinct boundary seconds track the session count until
+    the time range saturates, so the per-second relation is NOT a
+    value-domain grid — the only single-task window is now the ~17-min
+    bucket grid, bounded by the time RANGE). Collapsing ties per second
+    is peak-safe: within one instant the (t, delta) ordering processes
+    all −1s then all +1s, so the running value is monotone down-then-up
+    and its max is always attained at a group boundary — the per-t net
+    walk visits every boundary value.
     """
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3248,7 +3250,19 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.sum("delta").alias("delta"), F.count("*").alias("n_rows"))
     )
-    swept = grid_cumsum(deltas, ["t"], [("concurrent", "delta")], keep=["n_rows"])
+    # r10: distinct boundary seconds are NOT a value-domain grid — their
+    # count tracks the session count until the time range saturates
+    # (19k→184k rows through one WindowExec task at sf0.01→0.1, caught
+    # by the grid cardinality tripwire). Bucket-stitch cumsum: 2^10-s
+    # (~17-min) buckets bound the only single-task window by the TIME
+    # RANGE (~2.6M s → ≤2532 buckets), per-second work hash-partitioned.
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_cumsum,
+    )
+
+    swept = bucketed_global_cumsum(
+        deltas, "t", [], [("concurrent", "delta")], bucket_bits=10
+    )
     return swept.agg(
         F.max("concurrent").alias("peak_concurrent_sessions"),
         (F.sum("n_rows") / 2).cast("long").alias("n_sessions"),

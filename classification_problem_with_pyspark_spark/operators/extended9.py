@@ -24,9 +24,9 @@ Scale posture (SURVEY.md §7.6):
 - Attribution: purchases×touches is a USER-keyed equi-join with a
   7-day residual range — band width is one user's week of events; the
   position window is keyed by purchase id. No global ordering anywhere.
-- Mann–Whitney ranks via a single global sort at test scale; the
-  docstring carries the two-pass distributed-ranking rewrite (per-value
-  counts + cumulative offsets) for corpus-scale use.
+- Mann–Whitney ranks via the two-pass distributed ranking (per-value
+  counts + bucket-stitch cumulative offsets, r10) — no global sort at
+  any scale.
 - The rate source demonstrates a deterministic non-file streaming
   ingestion path (the bench/backfill twin of the Kafka wrapper) —
   per-batch row counts and partitioning are option-pinned.
@@ -41,7 +41,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import TMP_DIR, load
 
@@ -81,31 +80,38 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the two-pass distributed ranking — the fact table folds to
     (value, event_type) COUNT cells (shuffle agg, map-side combine);
-    rank offsets come from a cumsum over the DISTINCT-VALUE grid
-    (min_rank(v) = 1 + #rows below v, so rank_x2(v) = 2·cum_prev +
-    tie_count + 1, all integers); rank sums are then cell_count ×
-    rank_x2 folds — the fact relation itself never meets an
-    unpartitioned window.
+    rank offsets come from the BUCKET-STITCH cumsum over the per-value
+    histogram (min_rank(v) = 1 + #rows below v, so rank_x2(v) =
+    2·cum_prev + tie_count + 1, all integers; the only single-task
+    window is the value-range bucket grid); rank sums are then
+    cell_count × rank_x2 folds — neither the fact relation nor the
+    per-value histogram ever meets an unpartitioned window.
     """
     e = load(spark, sf_dir, "events")
     s = e.where(
         F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
     ).select("event_type", "value")
     cells = s.groupBy("value", "event_type").agg(F.count("*").alias("cc"))
-    vgrid = (
-        grid_cumsum(
-            cells.groupBy("value").agg(F.sum("cc").alias("ct")),
-            ["value"],
-            [("cum_prev", "ct")],
-            keep=["value", "ct"],
-            frame_end=-1,
-        )
-        .select(
-            "value",
-            (2 * F.col("cum_prev") + F.col("ct") + 1)
-            .cast("long")
-            .alias("rank_x2"),
-        )
+    # r10: the distinct-value histogram is NOT a value-domain grid — event
+    # values are near-continuous doubles, so its cardinality tracked the
+    # event count (3.3k→13.4k through one WindowExec task, caught by the
+    # grid cardinality tripwire). Bucket-stitch midranks: 2-unit value
+    # buckets bound the only single-task window by the VALUE RANGE
+    # (0–560 → ≤281 buckets at any SF); per-value work hash-partitioned.
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_cumsum,
+    )
+
+    vgrid = bucketed_global_cumsum(
+        cells.groupBy("value").agg(F.sum("cc").alias("ct")),
+        "value",
+        [],
+        [("cum_prev", "ct")],
+        bucket_bits=1,
+        frame_end=-1,
+    ).select(
+        "value",
+        (2 * F.col("cum_prev") + F.col("ct") + 1).cast("long").alias("rank_x2"),
     )
     ranked = cells.join(vgrid, "value").select("event_type", "cc", "rank_x2")
     n = F.sum("cc").cast("long")

@@ -11,9 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -218,32 +216,42 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = load(spark, sf_dir, "supplier")
     bal = F.when(F.col("s_acctbal") < 0, None).otherwise(F.col("s_acctbal"))
-    # De-globalized (r8): the DESC NULLS LAST total order still ranks via
-    # the distinct-balance histogram (NULL is just one more grid value,
-    # ordered last by desc_nulls_last on the bounded grid) + a
-    # balance-partitioned row_number — the nulls-ordering semantics stay
-    # hash-observable without a whole-relation sort task.
-    rows = s.select("s_suppkey", bal.alias("bal_or_null"))
-    hist = rows.groupBy("bal_or_null").agg(F.count("*").alias("c"))
-    base = grid_cumsum(
-        hist,
-        [F.col("bal_or_null").desc_nulls_last()],
-        [("base", "c")],
-        keep=["bal_or_null"],
-        frame_end=-1,
+    # De-globalized (r8; bucket-stitched r10): the r8 distinct-balance
+    # histogram tracked the supplier count (near-unique balances — caught
+    # by the grid cardinality tripwire). DESC NULLS LAST decomposes: rank
+    # the non-null rows bucket-stitched on the balance (16-unit buckets
+    # bound the only single-task window by the BALANCE RANGE), then rank
+    # the NULL cell's rows by key with the non-null count as the offset —
+    # the nulls-ordering semantics stay hash-observable with no
+    # whole-relation (or entity-scale-grid) sort task anywhere.
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_rank,
     )
-    w_in = Window.partitionBy("bal_or_null").orderBy(F.col("s_suppkey").asc())
-    base_r = base.withColumnRenamed("bal_or_null", "grid_bal")
-    return (
-        # null-safe join: NULL balances are a real grid cell and must
-        # keep their rows (a plain equi-join would drop them)
-        rows.join(
-            F.broadcast(base_r),
-            F.col("bal_or_null").eqNullSafe(F.col("grid_bal")),
+
+    rows = s.select("s_suppkey", bal.alias("bal_or_null"))
+    nn = rows.where(F.col("bal_or_null").isNotNull())
+    ranked_nn = bucketed_global_rank(
+        nn,
+        "bal_or_null",
+        [F.asc("s_suppkey")],
+        descending=True,
+        bucket_bits=4,
+        out="pos",
+    ).select("s_suppkey", "bal_or_null", F.col("pos").cast("long").alias("pos"))
+    n_nn = nn.agg(F.count("*").cast("long").alias("__n_nn"))
+    ranked_null = (
+        bucketed_global_rank(
+            rows.where(F.col("bal_or_null").isNull()).crossJoin(F.broadcast(n_nn)),
+            "s_suppkey",
+            [],
+            descending=False,
+            bucket_bits=8,
+            out="__rn",
         )
         .select(
             "s_suppkey",
             "bal_or_null",
-            (F.col("base") + F.row_number().over(w_in)).alias("pos"),
+            (F.col("__n_nn") + F.col("__rn")).cast("long").alias("pos"),
         )
     )
+    return ranked_nn.unionAll(ranked_null)

@@ -168,48 +168,41 @@ def window_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank/cume_dist over account balance.
 
-    De-globalized (r8): the (c_acctbal, c_custkey) ordering is a total
-    order, so rank == row_number == global rank from the bounded
-    distinct-acctbal histogram (strictly-lower cumsum base + an
-    acctbal-partitioned row_number), and all three window functions are
-    closed forms of (rn, n): ntile(4) via the first-n%k-buckets rule,
-    percent_rank = (rn-1)/(n-1), cume_dist = rn/n. No customer row ever
-    funnels through a single-task sort — the shape that survives a
-    fact-sized relation, not just a dim.
+    De-globalized (r8; bucket-stitched r10): the (c_acctbal, c_custkey)
+    ordering is a total order, so rank == row_number == the exact
+    BUCKET-STITCH global rank (plans/global_rank.py — the r8
+    distinct-acctbal histogram tracked the customer count since balances
+    are near-unique; 16-unit balance buckets bound the only single-task
+    window by the BALANCE RANGE, ~690 buckets at any SF), and all three
+    window functions are closed forms of (rn, n): ntile(4) via the
+    first-n%k-buckets rule, percent_rank = (rn-1)/(n-1), cume_dist =
+    rn/n. No customer row — and no customer-scale grid — ever funnels
+    through a single-task sort.
     """
-    from classification_problem_with_pyspark_spark.plans.bounded_grid import (
-        grid_cumsum,
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_rank,
+        closed_form_ntile,
     )
 
     c = load(spark, sf_dir, "customer")
-    hist = c.groupBy("c_acctbal").agg(F.count("*").alias("cnt"))
-    base = grid_cumsum(
-        hist, ["c_acctbal"], [("base", "cnt")], keep=["c_acctbal"], frame_end=-1
+    tot = c.agg(F.count("*").cast("long").alias("n"))
+    ranked = bucketed_global_rank(
+        c.select("c_custkey", "c_acctbal").crossJoin(F.broadcast(tot)),
+        "c_acctbal",
+        [F.asc("c_custkey")],
+        descending=False,
+        bucket_bits=4,
+        out="rn",
     )
-    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
-    w_in = Window.partitionBy("c_acctbal").orderBy("c_custkey")
-    return (
-        c.select("c_custkey", "c_acctbal")
-        .withColumn("rn_in", F.row_number().over(w_in))
-        .join(F.broadcast(base), "c_acctbal")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("rn", F.col("base") + F.col("rn_in"))
-        .select(
-            "c_custkey",
-            F.expr(
-                "CAST(CASE WHEN rn <= (n % 4) * (n DIV 4 + 1) "
-                "THEN (rn - 1) DIV (n DIV 4 + 1) + 1 "
-                "ELSE n % 4 "
-                "+ (rn - (n % 4) * (n DIV 4 + 1) - 1) "
-                "DIV greatest(1, n DIV 4) + 1 END AS INT)"
-            ).alias("acctbal_quartile"),
-            # greatest(1, n-1): percent_rank() returns 0.0 (not NULL) for a
-            # 1-row relation — guard the closed form the same way as ntile.
-            F.round((F.col("rn") - 1) / F.greatest(F.lit(1), F.col("n") - 1), 9).alias(
-                "pct_rank"
-            ),
-            F.round(F.col("rn") / F.col("n"), 9).alias("cume"),
-        )
+    return ranked.select(
+        "c_custkey",
+        closed_form_ntile(F.col("rn"), F.col("n"), 4).alias("acctbal_quartile"),
+        # greatest(1, n-1): percent_rank() returns 0.0 (not NULL) for a
+        # 1-row relation — guard the closed form the same way as ntile.
+        F.round((F.col("rn") - 1) / F.greatest(F.lit(1), F.col("n") - 1), 9).alias(
+            "pct_rank"
+        ),
+        F.round(F.col("rn") / F.col("n"), 9).alias("cume"),
     )
 
 

@@ -30,6 +30,16 @@ from pyspark.sql.window import Window
 
 __all__ = ["grid_cumsum", "grid_rank", "grid_shift"]
 
+# Test-only capture hook (tests/test_bounded_grid.py). The lineage-walk
+# assertion below proves "post-aggregation", NOT "value-domain bounded":
+# groupBy(user_id) passes it while growing linearly with the fact table
+# (the class round 9's hand audit fixed eight times). When set to a list,
+# every grid_* call appends its routed grid DataFrame so the multi-SF
+# cardinality tripwire can COUNT each grid at several scale factors and
+# fail any site whose cardinality grows with SF — making the value-domain
+# distinction structural instead of a per-round human audit (VERDICT r9).
+GRID_CAPTURE: list[DataFrame] | None = None
+
 
 # Nodes that bound their whole subtree: one output row per distinct cell.
 _BOUNDING = {"Aggregate", "Deduplicate"}
@@ -63,6 +73,8 @@ def _assert_bounded_grid(grid: DataFrame) -> None:
     logical plan — zero jobs run (ADVICE r8: the previous substring check
     passed if ANY Aggregate appeared anywhere, so a fact-scale relation
     cross-joined with a tiny aggregated total slipped through)."""
+    if GRID_CAPTURE is not None:
+        GRID_CAPTURE.append(grid)
     if not _lineage_bounded(grid._jdf.queryExecution().analyzed()):
         raise AssertionError(
             "grid_cumsum input must be a post-aggregation distinct-value "

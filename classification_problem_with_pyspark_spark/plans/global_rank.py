@@ -47,6 +47,7 @@ __all__ = [
     "bucketed_global_rank",
     "bucketed_global_topk",
     "bucketed_global_cumsum",
+    "bucketed_global_cummax",
     "closed_form_ntile",
 ]
 
@@ -56,11 +57,24 @@ _BASE = "__gr_base"
 
 
 def _with_bucket(df: DataFrame, value_col: str, bucket_bits: int) -> DataFrame:
+    # Loud guard for the non-null contract (ADVICE r9): a NULL value would
+    # yield a NULL bucket and the null-unsafe stitch join would then
+    # silently DROP the row. raise_error makes the violation fail the job
+    # instead; the per-row isNull check stays inside codegen and is free
+    # on the contract-conforming path.
+    v = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"bucketed_global_*: NULL in value column {value_col!r} "
+                "violates the documented non-null contract (the stitch "
+                "join would silently drop the row)"
+            )
+        ),
+    ).otherwise(F.col(value_col))
     if bucket_bits == 0:
-        return df.withColumn(_BKT, F.col(value_col))
-    return df.withColumn(
-        _BKT, F.floor(F.col(value_col) / F.lit(2**bucket_bits)).cast("long")
-    )
+        return df.withColumn(_BKT, v)
+    return df.withColumn(_BKT, F.floor(v / F.lit(2**bucket_bits)).cast("long"))
 
 
 def _bucket_bases(bucketed: DataFrame, descending: bool) -> DataFrame:
@@ -165,16 +179,74 @@ def bucketed_global_cumsum(
     return out_df.drop(_BKT, *[f"__gr_b_{out}" for out, _ in names])
 
 
+def bucketed_global_cummax(
+    df: DataFrame,
+    value_col: str,
+    ties: Iterable[Column | str],
+    maxes: Iterable[tuple[str, str]],
+    *,
+    descending: bool = False,
+    bucket_bits: int = 0,
+    frame_end: int = 0,
+) -> DataFrame:
+    """Exact running MAX under ``ORDER BY value_col [DESC], *ties``
+    without a whole-relation single-task window (round 10, for the
+    skyline frontier): per-bucket maxes cummax strictly-before on the
+    bucket grid (the only single-task window — grid-sized) + an
+    in-bucket framed running max partitioned by bucket; the row's
+    running max is the GREATEST of the two (null-skipping, so an empty
+    prefix yields the in-bucket value and a fully empty frame yields
+    NULL — the same semantics as ``max() OVER`` with that frame).
+    `maxes` is ``(out_name, src_col)`` pairs; `frame_end` 0 = inclusive,
+    -1 = strictly-before (NULL when nothing precedes)."""
+    names = list(maxes)
+    bucketed = _with_bucket(df, value_col, bucket_bits)
+    bagg = bucketed.groupBy(_BKT).agg(
+        *[F.max(src).alias(f"__gr_m_{out}") for out, src in names]
+    )
+    order = [F.desc(_BKT)] if descending else [F.asc(_BKT)]
+    bases = grid_cumsum(
+        bagg,
+        order,
+        [(f"__gr_b_{out}", F.max(f"__gr_m_{out}")) for out, src in names],
+        keep=[_BKT],
+        frame_end=-1,
+    )
+    val = F.desc(value_col) if descending else F.asc(value_col)
+    w_in = Window.partitionBy(_BKT).orderBy(val, *ties).rowsBetween(
+        Window.unboundedPreceding, frame_end
+    )
+    out_df = bucketed.join(F.broadcast(bases), _BKT)
+    for out, src in names:
+        out_df = out_df.withColumn(
+            out, F.greatest(F.col(f"__gr_b_{out}"), F.max(src).over(w_in))
+        )
+    return out_df.drop(_BKT, *[f"__gr_b_{out}" for out, _ in names])
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Integer-exact ``a DIV b`` for non-negative longs at ANY magnitude
+    (ADVICE r9: double-division-cast-to-long is exact only below ~2^53).
+    ``a - a % b`` is an exact multiple of ``b``; dividing exact multiples
+    as DECIMAL(38,0) yields the integer quotient bit-exactly (the result
+    type decimal(38,6) holds any long quotient with room to spare), so
+    the final long cast never rounds. Matches the repo's integer-exact
+    DIV posture (cf. the windows.py ntile SQL spelling)."""
+    return ((a - a % b).cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
+
+
 def closed_form_ntile(rn: Column, n: Column, k: int) -> Column:
     """ANSI NTILE(k) as a closed form of (global row_number rn, total n):
     the first n % k tiles get n DIV k + 1 rows, the rest n DIV k —
     exactly Spark's and DuckDB's distribution rule. greatest(1, ·)
-    guards the n < k degenerate relations where n DIV k = 0."""
-    big = (n / k).cast("long")  # n DIV k
+    guards the n < k degenerate relations where n DIV k = 0. All index
+    arithmetic is integer-exact via `_idiv` — no float rounding at any
+    row count."""
+    big = _idiv(n, F.lit(k).cast("long"))  # n DIV k
     rem = n - big * k  # n % k
     cut = rem * (big + 1)
     return (
-        F.when(rn <= cut, ((rn - 1) / (big + 1)).cast("long") + 1)
-        .otherwise(rem + ((rn - cut - 1) / F.greatest(F.lit(1), big)).cast("long") + 1)
+        F.when(rn <= cut, _idiv(rn - 1, big + 1) + 1)
+        .otherwise(rem + _idiv(rn - cut - 1, F.greatest(F.lit(1), big)) + 1)
         .cast("int")
     )

@@ -1,11 +1,21 @@
 """The shared bounded-grid cumsum helper (plans/bounded_grid.py, round 8):
 the one place the distinct-value-grid family spells its single-partition
 ordered window, with the boundedness argument enforced as a plan-shape
-assertion instead of a ratchet-allowlist prose note."""
+assertion instead of a ratchet-allowlist prose note.
+
+Round 10 adds the multi-SF cardinality TRIPWIRE: the lineage-walk
+assertion proves "post-aggregation", not "value-domain bounded" —
+``groupBy(user_id)`` passes it while growing linearly with the fact
+table. The tripwire counts every routed grid at sf0.01 AND sf0.1 and
+fails any site whose cardinality tracks the scale factor (a value-domain
+grid saturates; an entity-scale one grows ~10× per decade), replacing
+round 9's one-off human audit with a structural gate (VERDICT r9 #2).
+"""
 
 import pytest
 from pyspark.sql import functions as F
 
+from classification_problem_with_pyspark_spark.plans import bounded_grid
 from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 
 
@@ -140,6 +150,96 @@ def test_grid_cumsum_rejects_union_with_unbounded_branch(spark):
     mixed = agg.select("v").unionAll(spark.range(3).select(F.col("id").alias("v")))
     with pytest.raises(AssertionError, match="post-aggregation"):
         grid_cumsum(mixed, ["v"], [("cum", "v")], keep=["v"])
+
+
+# ---------------------------------------------------------------------------
+# Multi-SF grid-cardinality tripwire (round 10, VERDICT r9 #2)
+# ---------------------------------------------------------------------------
+
+_SF_LO, _SF_HI = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+
+# Entity-scale rule, calibrated against the fixture tables: every entity
+# table grows ~10× from sf0.01 to sf0.1 (customer 1.5k→15k, supplier
+# 100→1k, part 2k→20k, documents 500→5k), while value-domain grids
+# (scores, days, deciles, 2^bits price buckets) saturate by sf0.01. The
+# >500 absolute floor ignores domain-fill jitter on tiny grids but keeps
+# per-supplier grids (1000 rows at sf0.1) in scope; the 100k backstop
+# catches near-fact-scale grids regardless of measured growth.
+def _entity_scale(lo: int, hi: int) -> bool:
+    return hi > 100_000 or (hi > 4 * lo and hi > 500)
+
+
+def _captured_grid_counts(spark, fn, sf_dir) -> list[int]:
+    bounded_grid.GRID_CAPTURE = cap = []
+    try:
+        fn(spark, sf_dir)
+    finally:
+        bounded_grid.GRID_CAPTURE = None
+    return [g.count() for g in cap]
+
+
+def test_entity_scale_relation_trips_the_cardinality_rule(spark):
+    """A one-row-per-customer relation passes the lineage assertion (it
+    IS post-aggregation) — exactly the class the eight r9 offenders were
+    in. The multi-SF rule must flag it."""
+    counts = {}
+    for sf in (_SF_LO, _SF_HI):
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        ent = cust.groupBy("c_custkey").agg(F.sum("c_acctbal").alias("v"))
+        bounded_grid.GRID_CAPTURE = cap = []
+        try:
+            from classification_problem_with_pyspark_spark.plans.bounded_grid import (
+                grid_rank,
+            )
+
+            grid_rank(ent, [F.desc("v"), F.asc("c_custkey")], "rk")
+        finally:
+            bounded_grid.GRID_CAPTURE = None
+        assert len(cap) == 1  # the lineage walk accepted it — that's the gap
+        counts[sf] = cap[0].count()
+    assert _entity_scale(counts[_SF_LO], counts[_SF_HI])
+
+
+@pytest.mark.slow
+def test_grid_cardinality_sf_invariance_sweep(spark):
+    """THE structural gate: build every registry query at sf0.01 with the
+    capture hook on; for each query that routes relations through the
+    grid helpers, re-build at sf0.1 and count each routed grid at both
+    SFs. Any grid whose cardinality tracks SF is an entity-scale input
+    that would silently re-create the single-task-window-scales-with-data
+    class the r9 hand audit fixed. Per-index matching when the capture
+    counts agree (plan building is deterministic); max-vs-max otherwise
+    (a data-dependent iterative key may change its round count with SF —
+    the largest routed grid is still the risk)."""
+    from classification_problem_with_pyspark_spark.registry import (
+        QUERIES,
+        load_all_modules,
+    )
+
+    load_all_modules()
+    lo_counts: dict[str, list[int]] = {}
+    for name in sorted(QUERIES):
+        counts = _captured_grid_counts(spark, QUERIES[name].fn, _SF_LO)
+        if counts:
+            lo_counts[name] = counts
+
+    assert lo_counts, "capture hook saw no grid sites — hook broken?"
+
+    offenders: list[str] = []
+    for name, lo in sorted(lo_counts.items()):
+        hi = _captured_grid_counts(spark, QUERIES[name].fn, _SF_HI)
+        if len(hi) == len(lo):
+            pairs = list(zip(lo, hi))
+        else:
+            pairs = [(max(lo), max(hi) if hi else 0)]
+        for i, (c_lo, c_hi) in enumerate(pairs):
+            if _entity_scale(c_lo, c_hi):
+                offenders.append(f"{name}[site {i}]: {c_lo} -> {c_hi}")
+    assert not offenders, (
+        "grid sites whose cardinality grows with SF (entity-scale input "
+        "to a single-task window — use plans/global_rank bucket-stitch "
+        f"instead): {offenders}"
+    )
 
 
 def test_grid_cumsum_accepts_join_of_two_aggregates_and_literals(spark):

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.plans.global_rank import (
+    bucketed_global_cummax,
     bucketed_global_cumsum,
     bucketed_global_rank,
     bucketed_global_topk,
@@ -111,12 +112,104 @@ def test_bucketed_global_cumsum_matches_global_window(
     assert got == expect
 
 
+@pytest.mark.parametrize("descending", [True, False])
+@pytest.mark.parametrize("frame_end", [0, -1])
+@pytest.mark.parametrize("bits", [0, 3])
+def test_bucketed_global_cummax_matches_global_window(
+    spark, descending, frame_end, bits
+):
+    df = _entity_df(spark).withColumn("m", ((F.col("id") * 31) % 17).cast("long"))
+    val = F.desc("v") if descending else F.asc("v")
+    w = Window.orderBy(val, F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, frame_end
+    )
+    expect = {
+        r["id"]: r["mx"] for r in df.withColumn("mx", F.max("m").over(w)).collect()
+    }
+    got = {
+        r["id"]: r["mx"]
+        for r in bucketed_global_cummax(
+            df,
+            "v",
+            [F.asc("id")],
+            [("mx", "m")],
+            descending=descending,
+            bucket_bits=bits,
+            frame_end=frame_end,
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_null_value_fails_loudly_not_silently_dropped(spark):
+    """ADVICE r9: a NULL in value_col used to produce a NULL bucket that
+    the null-unsafe stitch join silently DROPPED. The non-null contract
+    is now enforced with raise_error, so violating it fails the job."""
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 30)], ["id", "v"]).groupBy(
+        "id"
+    ).agg(F.first("v").alias("v"))
+    ranked = bucketed_global_rank(df, "v", [F.asc("id")], bucket_bits=2)
+    with pytest.raises(Exception, match="non-null contract"):
+        ranked.collect()
+
+
+def test_idiv_exact_beyond_double_precision(spark):
+    """ADVICE r9: (a / b).cast('long') loses exactness above ~2^53; the
+    decimal-backed _idiv must stay bit-exact at any long magnitude."""
+    from classification_problem_with_pyspark_spark.plans.global_rank import _idiv
+
+    cases = [
+        (2**62 + 12345, 7),
+        (2**53 + 1, 2),  # first magnitude where double drops the low bit
+        (9_007_199_254_740_993, 3),
+        (2**61, 2**31 - 1),
+        (5, 7),
+        (0, 3),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in cases], "a long, b long"
+    ).withColumn("q", _idiv(F.col("a"), F.col("b")))
+    got = {(r["a"], r["b"]): r["q"] for r in df.collect()}
+    assert got == {(a, b): a // b for a, b in cases}
+
+
+def _window_partition_specs(plan: str) -> list[str]:
+    """Partition spec of every Window node in an executed-plan string.
+
+    A WindowExec prints ``Window [exprs], [partitionSpec], [orderSpec]``
+    — with NO partitionBy the middle group is absent (two groups). The
+    bracket groups contain parens (windowspecdefinition(...)) but never
+    nested ``], [`` so the split is unambiguous; the order spec is the
+    group carrying ASC/DESC markers, which partition specs never do."""
+    specs = []
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        groups = line[idx + len("Window ") :].split("], [")
+        if len(groups) >= 3:
+            specs.append(groups[1])
+        else:
+            specs.append("")  # ordered window with no partitionBy
+    return specs
+
+
 def test_rank_plan_has_no_whole_relation_window(spark):
-    """The only unpartitioned window in the helper's plan is the bucket-
-    grid cumsum; the per-row ranking window must be hash-partitioned."""
+    """The ONLY unpartitioned window in the helper's plan is the bucket-
+    grid cumsum (whose input is the bucket histogram); the per-row
+    ranking window must be hash-partitioned BY THE BUCKET KEY — asserted
+    on each Window node's partition spec, not a whole-plan substring
+    (ADVICE r9: the old check also matched project lists, so it kept
+    passing if the in-bucket window lost its partitionBy)."""
     df = _entity_df(spark)
     plan = bucketed_global_rank(
         df, "v", [F.asc("id")], bucket_bits=3
     )._jdf.queryExecution().executedPlan().toString()
-    # the in-bucket window carries the bucket key in its partition spec
-    assert "__gr_bkt" in plan
+    specs = _window_partition_specs(plan)
+    assert len(specs) == 2, f"expected grid + in-bucket windows, got {specs!r}"
+    unpartitioned = [s for s in specs if not s.strip()]
+    bucket_partitioned = [s for s in specs if "__gr_bkt" in s]
+    # exactly one single-task window (the grid cumsum over the bucket
+    # histogram) and exactly one window partitioned by the bucket key
+    assert len(unpartitioned) == 1, f"partition specs: {specs!r}"
+    assert len(bucket_partitioned) == 1, f"partition specs: {specs!r}"

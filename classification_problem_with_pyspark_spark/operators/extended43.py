@@ -16,10 +16,11 @@ make the two engines disagree about membership; the JSONL fixture
 injects corrupt lines DETERMINISTICALLY and the oracle restates the
 recoverable rows from the base table.
 
-Scale posture (SURVEY.md §7.6): the tail rank is honest about its
-global-sort cost (and documents the approx-threshold prefilter that
-removes 99% of it at real scale); the JSONL read is the one-pass
-PERMISSIVE scan every ingestion edge runs.
+Scale posture (SURVEY.md §7.6): the tail membership is histogram-based
+(no global row sort; the cutoff cumsum is the bucket-stitch form since
+r10, so the only single-task window is the value-range bucket grid);
+the JSONL read is the one-pass PERMISSIVE scan every ingestion edge
+runs.
 """
 
 from __future__ import annotations
@@ -31,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -94,11 +94,11 @@ def agg_tail_attribution_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum over the value grid; rows strictly above the cutoff are
     all members, and only the BOUNDARY-VALUE tie band (rows at
     exactly the cutoff cents) is ranked by event_id to take the
-    remaining m slots. The only ordered windows are the value-grid
-    cumsum and the single-value tie band — at 100 TB the fact table
-    itself is never sorted. (An approx_percentile(0.99) pre-cut
-    could bound even the histogram's value grid if cents cardinality
-    ever grew pathological.)
+    remaining m slots. The cutoff cumsum is the bucket-stitch form
+    (r10: distinct cents track the event count, so the only
+    single-task window is the 64-cent bucket grid, bounded by the
+    value RANGE) and the tie band is a single value's rows — at
+    100 TB the fact table itself is never sorted.
     """
     e = load(spark, sf_dir, "events")
     v = e.select(
@@ -110,8 +110,17 @@ def agg_tail_attribution_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = v.groupBy("cents").agg(F.count("*").alias("c"))
     tot_n = hist.agg(F.sum("c").cast("long").alias("n"))
-    cum = grid_cumsum(
-        hist, [F.desc("cents")], [("cum", "c")], keep=["cents", "c"]
+    # r10 (proactive, found by the near-threshold grid audit): distinct
+    # value cents are near-unique — 17.8k rows at sf0.1 growing
+    # 2.7×/decade through one WindowExec task. Bucket-stitch cumsum:
+    # 64-cent buckets bound the only single-task window by the VALUE
+    # RANGE (0–56k cents → ≤876 buckets at any SF).
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_cumsum,
+    )
+
+    cum = bucketed_global_cumsum(
+        hist, "cents", [], [("cum", "c")], descending=True, bucket_bits=6
     ).crossJoin(F.broadcast(tot_n))
     # Cutoff = largest cents value whose cumulative (desc) count reaches
     # k = n DIV 100; m = how many of the cutoff-value ties are inside

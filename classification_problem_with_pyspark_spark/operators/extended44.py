@@ -254,11 +254,10 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the (score DESC, vec_id) total order so cut ties can never
     differ; gain and lift fold floor-micro integer division.
 
-    Scale: exact ntile WITHOUT a global sort — score_micro is bounded
-    in [0, 1e6 + boost] by construction, so the per-score count
-    histogram is a bounded GRID; a desc cumsum gives each score's
-    base rank, each row's global row_number is base + its
-    score-PARTITIONED row_number (vec_id tiebreak), and the SQL ntile
+    Scale: exact ntile WITHOUT a global sort — the BUCKET-STITCH global
+    rank (r10: score_micro is domain-bounded at ~1e6 distinct values,
+    but that is a 1M-row single-task ceiling; 2^12-score buckets cap
+    the only single-task window at ≤245 rows), and the SQL ntile
     bucket formula (first n%k buckets take one extra row) maps ranks
     to deciles in closed form. The cumulative window runs over 10
     rows either way.
@@ -272,37 +271,27 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("label") == 0, LIFT_BOOST).otherwise(0)
         ).alias("score_micro"),
     )
-    hist = scored.groupBy("score_micro").agg(F.count("*").alias("c"))
-    base = grid_cumsum(
-        hist,
-        [F.desc("score_micro")],
-        [("base", "c")],
-        keep=["score_micro"],
-        frame_end=-1,
+    # r10 (proactive, found by the near-threshold grid audit): the
+    # per-score histogram saturates only at ~1e6 rows — domain-bounded
+    # but a 1M-row single-task ceiling at real scale. Bucket-stitch
+    # rank: 2^12-score buckets bound the only single-task window at
+    # ≤245 rows; SQL ntile(k) is the closed form of (rank, n).
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_rank,
+        closed_form_ntile,
     )
-    tot_n = hist.agg(F.sum("c").cast("long").alias("n"))
-    w_in = Window.partitionBy("score_micro").orderBy("vec_id")
-    # SQL ntile(k): the first n%k buckets hold n DIV k + 1 rows, the
-    # rest n DIV k — closed-form from the 1-based global rank rn.
+
+    tot_n = scored.agg(F.count("*").cast("long").alias("n"))
     deciled = (
-        scored.withColumn("rn_in", F.row_number().over(w_in))
-        .join(F.broadcast(base), "score_micro")
-        .crossJoin(F.broadcast(tot_n))
-        .withColumn("rn", F.col("base") + F.col("rn_in"))
-        .withColumn(
-            "decile",
-            F.expr(
-                f"CAST(CASE WHEN rn <= (n % {LIFT_K}) * (n DIV {LIFT_K} + 1) "
-                f"THEN (rn - 1) DIV (n DIV {LIFT_K} + 1) + 1 "
-                f"ELSE n % {LIFT_K} "
-                f"+ (rn - (n % {LIFT_K}) * (n DIV {LIFT_K} + 1) - 1) "
-                # greatest(1, ·): when n < k the WHEN branch covers every
-                # row so this divisor is never used with n DIV k = 0, but
-                # guard it anyway so ANSI mode can never DIVIDE_BY_ZERO if
-                # the branches are ever reordered.
-                f"DIV greatest(1, n DIV {LIFT_K}) + 1 END AS INT)"
-            ),
+        bucketed_global_rank(
+            scored.crossJoin(F.broadcast(tot_n)),
+            "score_micro",
+            [F.asc("vec_id")],
+            descending=True,
+            bucket_bits=12,
+            out="rn",
         )
+        .withColumn("decile", closed_form_ntile(F.col("rn"), F.col("n"), LIFT_K))
         .select("is_pos", "score_micro", "decile")
     )
     per = deciled.groupBy("decile").agg(

@@ -56,7 +56,15 @@ _CNT = "__gr_cnt"
 _BASE = "__gr_base"
 
 
-def _with_bucket(df: DataFrame, value_col: str, bucket_bits: int) -> DataFrame:
+_INTEGRAL_TYPES = {"bigint", "int", "smallint", "tinyint"}
+
+
+def _with_bucket(
+    df: DataFrame,
+    value_col: str,
+    bucket_bits: int,
+    value_range_k: int | None = None,
+) -> DataFrame:
     # Loud guard for the non-null contract (ADVICE r9): a NULL value would
     # yield a NULL bucket and the null-unsafe stitch join would then
     # silently DROP the row. raise_error makes the violation fail the job
@@ -72,9 +80,55 @@ def _with_bucket(df: DataFrame, value_col: str, bucket_bits: int) -> DataFrame:
             )
         ),
     ).otherwise(F.col(value_col))
+    if value_range_k is not None:
+        # Range-normalized fixed-K buckets (round 11, VERDICT r10 #2): a
+        # fixed 2^bits bucket WIDTH keeps the grid bounded only when the
+        # value RANGE is a property of the domain. Aggregates whose
+        # magnitude grows with data volume (per-part revenue, Walsh sums
+        # of daily totals) widen their range ~linearly with SF, so the
+        # grid grows with data. bucket = (v - min) DIV width with
+        # width = (max - min) DIV K + 1 over the BROADCAST min/max keeps
+        # the grid <= K+1 non-empty buckets at ANY magnitude; all
+        # arithmetic is exact long DIV (monotone in v, so cross-bucket
+        # ordering is preserved). Integral value domains only — the two
+        # extra aggregate passes (min/max) share the input's exchange via
+        # ReuseExchange. Range overflow needs max-min < 2^63: every cents
+        # domain satisfies it by ~9 decimal orders.
+        dt = df.schema[value_col].dataType.simpleString()
+        if dt not in _INTEGRAL_TYPES:
+            raise ValueError(
+                f"value_range_k requires an integral value column, got {dt!r}"
+            )
+        bounds = df.agg(
+            F.min(value_col).cast("long").alias("__gr_mn"),
+            F.max(value_col).cast("long").alias("__gr_mx"),
+        )
+        return (
+            df.withColumn("__gr_v", v.cast("long"))
+            .crossJoin(F.broadcast(bounds))
+            .withColumn(
+                _BKT,
+                F.expr(
+                    "(__gr_v - __gr_mn) DIV "
+                    f"((__gr_mx - __gr_mn) DIV {int(value_range_k)} + 1)"
+                ),
+            )
+            .drop("__gr_v", "__gr_mn", "__gr_mx")
+        )
     if bucket_bits == 0:
         return df.withColumn(_BKT, v)
     return df.withColumn(_BKT, F.floor(v / F.lit(2**bucket_bits)).cast("long"))
+
+
+def _check_frame_end(frame_end: int) -> None:
+    if frame_end not in (0, -1):
+        raise ValueError(
+            f"frame_end={frame_end}: bucketed running aggregates support "
+            "only 0 (inclusive) or -1 (strictly-before). The bucket base "
+            "is always the strictly-before-BUCKET aggregate, so any other "
+            "negative offset would silently include too much of the prior "
+            "buckets (ADVICE r10)."
+        )
 
 
 def _bucket_bases(bucketed: DataFrame, descending: bool) -> DataFrame:
@@ -93,14 +147,17 @@ def bucketed_global_rank(
     *,
     descending: bool = True,
     bucket_bits: int = 0,
+    value_range_k: int | None = None,
     out: str = "rn",
 ) -> DataFrame:
     """Append exact global ``row_number`` `out` under
     ``ORDER BY value_col [DESC], *ties`` without a whole-relation
     single-task sort. `value_col` must be numeric and non-null (all
     call sites rank non-null aggregates); `ties` must complete a total
-    order for a deterministic result."""
-    bucketed = _with_bucket(df, value_col, bucket_bits)
+    order for a deterministic result. `value_range_k` switches to
+    range-normalized fixed-K buckets for magnitude-growing integral
+    domains (see `_with_bucket`)."""
+    bucketed = _with_bucket(df, value_col, bucket_bits, value_range_k)
     bases = _bucket_bases(bucketed, descending)
     val = F.desc(value_col) if descending else F.asc(value_col)
     w_in = Window.partitionBy(_BKT).orderBy(val, *ties)
@@ -119,6 +176,7 @@ def bucketed_global_topk(
     *,
     descending: bool = True,
     bucket_bits: int = 0,
+    value_range_k: int | None = None,
     out: str = "rn",
 ) -> DataFrame:
     """Exact global top-k (rows with rank <= k plus the rank column):
@@ -126,7 +184,7 @@ def bucketed_global_topk(
     PRUNED before the in-bucket window, so the ranking work touches only
     head buckets — the selection is broadcast-prune + partitioned rank,
     never an entity-scale sort."""
-    bucketed = _with_bucket(df, value_col, bucket_bits)
+    bucketed = _with_bucket(df, value_col, bucket_bits, value_range_k)
     bases = _bucket_bases(bucketed, descending).where(F.col(_BASE) < k)
     val = F.desc(value_col) if descending else F.asc(value_col)
     w_in = Window.partitionBy(_BKT).orderBy(val, *ties)
@@ -146,6 +204,7 @@ def bucketed_global_cumsum(
     *,
     descending: bool = False,
     bucket_bits: int = 0,
+    value_range_k: int | None = None,
     frame_end: int = 0,
 ) -> DataFrame:
     """Exact running totals under ``ORDER BY value_col [DESC], *ties``
@@ -154,9 +213,14 @@ def bucketed_global_cumsum(
     window — grid-sized) + an in-bucket framed running sum partitioned
     by bucket. `sums` is ``(out_name, src_col)`` pairs (numeric,
     non-null); `frame_end` 0 = inclusive running total, -1 =
-    strictly-before (empty in-bucket frames coalesce to 0)."""
+    strictly-before (empty in-bucket frames coalesce to 0). Only those
+    two frames exist here: the bucket base is always the
+    strictly-before-BUCKET aggregate, so any other offset would
+    silently include too much of the prior buckets (ADVICE r10 — hence
+    the loud guard)."""
+    _check_frame_end(frame_end)
     names = list(sums)
-    bucketed = _with_bucket(df, value_col, bucket_bits)
+    bucketed = _with_bucket(df, value_col, bucket_bits, value_range_k)
     bagg = bucketed.groupBy(_BKT).agg(
         *[F.sum(src).alias(f"__gr_s_{out}") for out, src in names]
     )
@@ -187,6 +251,7 @@ def bucketed_global_cummax(
     *,
     descending: bool = False,
     bucket_bits: int = 0,
+    value_range_k: int | None = None,
     frame_end: int = 0,
 ) -> DataFrame:
     """Exact running MAX under ``ORDER BY value_col [DESC], *ties``
@@ -198,9 +263,12 @@ def bucketed_global_cummax(
     prefix yields the in-bucket value and a fully empty frame yields
     NULL — the same semantics as ``max() OVER`` with that frame).
     `maxes` is ``(out_name, src_col)`` pairs; `frame_end` 0 = inclusive,
-    -1 = strictly-before (NULL when nothing precedes)."""
+    -1 = strictly-before (NULL when nothing precedes) — no other frame
+    is expressible over the strictly-before bucket base (ADVICE r10),
+    so anything else fails loudly."""
+    _check_frame_end(frame_end)
     names = list(maxes)
-    bucketed = _with_bucket(df, value_col, bucket_bits)
+    bucketed = _with_bucket(df, value_col, bucket_bits, value_range_k)
     bagg = bucketed.groupBy(_BKT).agg(
         *[F.max(src).alias(f"__gr_m_{out}") for out, src in names]
     )
@@ -227,12 +295,16 @@ def bucketed_global_cummax(
 def _idiv(a: Column, b: Column) -> Column:
     """Integer-exact ``a DIV b`` for non-negative longs at ANY magnitude
     (ADVICE r9: double-division-cast-to-long is exact only below ~2^53).
-    ``a - a % b`` is an exact multiple of ``b``; dividing exact multiples
-    as DECIMAL(38,0) yields the integer quotient bit-exactly (the result
-    type decimal(38,6) holds any long quotient with room to spare), so
-    the final long cast never rounds. Matches the repo's integer-exact
-    DIV posture (cf. the windows.py ntile SQL spelling)."""
-    return ((a - a % b).cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
+    Spelled as Spark's IntegralDivide builtin — long-in/long-out, exact
+    at every magnitude, and CONFIG-INDEPENDENT (ADVICE r10: the former
+    DECIMAL(38,0) remainder-stripped divide was exact only under the
+    default spark.sql.decimalOperations.allowPrecisionLoss=true; with it
+    false, decimal(38,0)/decimal(38,0) overflows the result precision
+    and returns NULL, silently nulling every ntile). For the
+    non-negative operands the helpers pass, truncating ``div`` equals
+    floor division. Matches the repo's integer-exact DIV posture (cf.
+    the windows.py ntile SQL spelling)."""
+    return F.call_function("div", a.cast("long"), b.cast("long"))
 
 
 def closed_form_ntile(rn: Column, n: Column, k: int) -> Column:

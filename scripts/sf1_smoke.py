@@ -1,12 +1,16 @@
-"""sf1-scale smoke for the bucket-stitch global_rank helpers (VERDICT r9 #7).
+"""sf1-scale smoke for the bucket-stitch global_rank helpers (VERDICT r9 #7,
+extended r11 per VERDICT r10 #7 + ADVICE r10).
 
 The helpers' bucket_bits guidance (16 for cents-scale domains) was only
 ever exercised up to sf0.1. This script builds a synthetic ~sf1 fixture —
 the sf0.1 `events` table replicated 10x with per-replica user_id /
-event_id offsets, so every per-user aggregate replicates exactly and the
-ENTITY count (users) grows 10x while value DOMAINS stay put — then runs
-the two heaviest bucket-stitch keys (`agg_rfm_segmentation`,
-`agg_spearman_corr`) on it and verifies:
+event_id offsets (per-user aggregates replicate exactly; ENTITY count
+grows 10x, value DOMAINS stay put), plus the sf0.1 `orders` table
+replicated 10x with per-replica o_orderkey strides AND a 1-cent
+o_totalprice offset per replica (so the DISTINCT-PRICE entity relation
+grows ~10x while the cents RANGE — what bounds the 2^16 bucket grid —
+stays fixed) — then runs the heaviest bucket-stitch keys on it and
+verifies:
 
   1. hash stability: Spark result == DuckDB oracle on the same synthetic
      parquet (the full driver-surface compare from tests/parity.py);
@@ -17,49 +21,101 @@ the two heaviest bucket-stitch keys (`agg_rfm_segmentation`,
      the plan stays multi-task with only the grid-sized single-task
      stages at 10x the entities.
 
-Usage: python scripts/sf1_smoke.py   (writes the fixture under
-/root/repo/.synth_sf1, ~110 MB; safe to delete afterwards)
+KEYS covers the r9 rewrites (agg_rfm_segmentation, agg_spearman_corr)
+and the r10 bucketed_global_cummax rewrite (join_skyline_pareto).
+
+Usage: python scripts/sf1_smoke.py [repo_root [src_sf_dir [synth_dir]]]
+(or env SPARK_GRAFT_REPO / SPARK_GRAFT_SF1_SRC / SPARK_GRAFT_SF1_SYNTH;
+defaults /root/repo, /root/testdata/sf0.1, <repo>/.synth_sf1 — the
+fixture is ~250 MB and safe to delete afterwards). DuckDB oracle views
+are registered for EVERY parquet table present in the directory under
+compare (ADVICE r10: the old version hardcoded the 'events' view and
+the paths, so extending KEYS to an orders-reading key would have
+compared against a stale or missing view).
 """
 
 from __future__ import annotations
 
+import glob
 import os
-import shutil
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+REPO = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    "SPARK_GRAFT_REPO", "/root/repo"
+)
+SRC = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+    "SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1"
+)
+SYNTH = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
+    "SPARK_GRAFT_SF1_SYNTH", os.path.join(REPO, ".synth_sf1")
+)
 
-SYNTH = "/root/repo/.synth_sf1"
-SRC = "/root/testdata/sf0.1"
-KEYS = ("agg_rfm_segmentation", "agg_spearman_corr")
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+KEYS = ("agg_rfm_segmentation", "agg_spearman_corr", "join_skyline_pareto")
 REPLICAS = 10
 USER_STRIDE = 10_000  # > max user_id 1499 at sf0.1
 EVENT_STRIDE = 10_000_000
+ORDER_STRIDE = 10_000_000  # > max o_orderkey 600000 at sf0.1
 
 
 def build_fixture() -> None:
     os.makedirs(SYNTH, exist_ok=True)
-    out = f"{SYNTH}/events.parquet"
-    if os.path.exists(out):
-        return
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
-    con.execute(
-        f"""
-        COPY (
-            SELECT event_id + r.i * {EVENT_STRIDE} AS event_id, ts,
-                   user_id + r.i * {USER_STRIDE} AS user_id,
-                   event_type, value, props
-            FROM '{SRC}/events.parquet', range({REPLICAS}) r(i)
-        ) TO '{out}' (FORMAT PARQUET)
-        """
-    )
-    n = con.execute(f"SELECT count(*), count(DISTINCT user_id) FROM '{out}'").fetchone()
-    print(f"fixture: {n[0]} rows, {n[1]} users -> {out}")
+
+    out = f"{SYNTH}/events.parquet"
+    if not os.path.exists(out):
+        con.execute(
+            f"""
+            COPY (
+                SELECT event_id + r.i * {EVENT_STRIDE} AS event_id, ts,
+                       user_id + r.i * {USER_STRIDE} AS user_id,
+                       event_type, value, props
+                FROM '{SRC}/events.parquet', range({REPLICAS}) r(i)
+            ) TO '{out}' (FORMAT PARQUET)
+            """
+        )
+        n = con.execute(
+            f"SELECT count(*), count(DISTINCT user_id) FROM '{out}'"
+        ).fetchone()
+        print(f"fixture: {n[0]} events, {n[1]} users -> {out}")
+
+    out = f"{SYNTH}/orders.parquet"
+    if not os.path.exists(out):
+        # The 1-cent per-replica price offset grows the DISTINCT-PRICE
+        # entity count ~10x (the per-price relation join_skyline_pareto's
+        # bucketed cummax ranks) while the price RANGE — and therefore the
+        # 2^16-cents bucket GRID — stays fixed. Offsets <= 9 cents cannot
+        # collide across replicas of the same base price.
+        con.execute(
+            f"""
+            COPY (
+                SELECT * REPLACE (
+                    o_orderkey + r.i * {ORDER_STRIDE} AS o_orderkey,
+                    o_totalprice + r.i * 0.01 AS o_totalprice
+                )
+                FROM '{SRC}/orders.parquet', range({REPLICAS}) r(i)
+            ) TO '{out}' (FORMAT PARQUET)
+            """
+        )
+        n = con.execute(
+            "SELECT count(*), count(DISTINCT CAST(round(o_totalprice*100) AS BIGINT)) "
+            f"FROM '{out}'"
+        ).fetchone()
+        print(f"fixture: {n[0]} orders, {n[1]} distinct cent prices -> {out}")
+
+
+def register_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    """Every parquet table present in sf_dir becomes a view named after
+    its basename — whatever tables a KEY reads are guaranteed fresh."""
+    for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+        t = os.path.splitext(os.path.basename(p))[0]
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
 
 
 def main() -> int:
@@ -119,11 +175,7 @@ def main() -> int:
             )
 
             # oracle parity on the same dir (the driver-surface check)
-            for t in ("events",):
-                con.execute(
-                    f"CREATE OR REPLACE VIEW {t} AS "
-                    f"SELECT * FROM '{sf_dir}/{t}.parquet'"
-                )
+            register_views(con, sf_dir)
             ok, msg = compare(key, df, q.oracle, con)
             print(f"{key} @ {label}: oracle {'HASH-OK' if ok else 'FAIL: ' + msg}")
             if not ok:

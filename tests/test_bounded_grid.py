@@ -12,6 +12,10 @@ grid saturates; an entity-scale one grows ~10× per decade), replacing
 round 9's one-off human audit with a structural gate (VERDICT r9 #2).
 """
 
+import itertools
+import json
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -200,6 +204,64 @@ def test_entity_scale_relation_trips_the_cardinality_rule(spark):
     assert _entity_scale(counts[_SF_LO], counts[_SF_HI])
 
 
+# Trend gate (VERDICT r10 #3): the absolute thresholds in _entity_scale
+# let sub-threshold growers coast (the r10 post-closing count audit found
+# agg_tail_attribution_topk at 6.6k→17.8k — gate-passing but growing).
+# Any site whose sf0.01→sf0.1 count ratio exceeds 1.5× with >50 rows at
+# sf0.1 is flagged unless allowlisted here with a saturation argument
+# (the reason a finite domain cap bounds it at every SF).
+_TREND_RATIO, _TREND_MIN_HI = 1.5, 50
+_TREND_ALLOW: dict[str, str] = {}
+
+_SNAPSHOT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "grid_cardinality_snapshot.json"
+)
+
+
+def _aligned_pairs(lo: list[int], hi: list[int]) -> list[tuple[int, int]]:
+    """Cross-SF site alignment. Per-index when the capture counts agree
+    (plan building is deterministic). When a data-dependent iterative key
+    changes its round count with SF, align the DESCENDING-sorted count
+    lists pairwise, padding the missing side with 0 (ADVICE r10: the old
+    max-vs-max fallback let a small growing grid hide behind a large
+    saturated one; sorted pairwise keeps every site in scope, and an
+    extra hi-side site with no lo counterpart compares against 0, which
+    trips the trend gate if it is big)."""
+    if len(hi) == len(lo):
+        return list(zip(lo, hi))
+    return list(
+        itertools.zip_longest(
+            sorted(lo, reverse=True), sorted(hi, reverse=True), fillvalue=0
+        )
+    )
+
+
+def test_trend_gate_catches_the_r10_count_audit_sites():
+    """The commit-a9bc1cf regression: agg_tail_attribution_topk measured
+    6,600 -> 17,800 across the SF decade — inside the absolute gate
+    (17,800 < 4x6,600 and < 100k) but plainly growing. The trend rule
+    must flag exactly this shape."""
+    c_lo, c_hi = 6_600, 17_800
+    assert not _entity_scale(c_lo, c_hi)  # the r10 gate let it coast
+    assert c_hi > _TREND_MIN_HI and c_hi > _TREND_RATIO * c_lo
+
+
+def test_aligned_pairs_sorted_fallback_exposes_hidden_grower():
+    """ADVICE r10: with differing capture lengths the old max-vs-max
+    fallback compared only the largest sites, so a small growing grid
+    hid behind a large saturated one. Sorted-descending pairwise keeps
+    it in scope, and an extra hi-side site pairs against 0."""
+    pairs = _aligned_pairs([30_000, 100], [30_000, 5_000, 900])
+    assert (30_000, 30_000) in pairs
+    assert (100, 5_000) in pairs  # the hidden grower, now visible
+    assert (0, 900) in pairs  # the new hi-only site, compared against 0
+    assert any(
+        c_hi > _TREND_MIN_HI and c_hi > _TREND_RATIO * c_lo for c_lo, c_hi in pairs
+    )
+    # equal lengths stay per-index (plan building is deterministic)
+    assert _aligned_pairs([3, 1], [4, 2]) == [(3, 4), (1, 2)]
+
+
 @pytest.mark.slow
 def test_grid_cardinality_sf_invariance_sweep(spark):
     """THE structural gate: build every registry query at sf0.01 with the
@@ -207,10 +269,18 @@ def test_grid_cardinality_sf_invariance_sweep(spark):
     grid helpers, re-build at sf0.1 and count each routed grid at both
     SFs. Any grid whose cardinality tracks SF is an entity-scale input
     that would silently re-create the single-task-window-scales-with-data
-    class the r9 hand audit fixed. Per-index matching when the capture
-    counts agree (plan building is deterministic); max-vs-max otherwise
-    (a data-dependent iterative key may change its round count with SF —
-    the largest routed grid is still the risk)."""
+    class the r9 hand audit fixed. Three gates (r10 VERDICT #3 ratcheted
+    this from thresholds to trend):
+
+      1. absolute: _entity_scale (>4× and >500, or >100k) — the r10 rule;
+      2. trend: any site growing >1.5× sf0.01→sf0.1 with >50 rows at
+         sf0.1, unless allowlisted with a saturation argument;
+      3. snapshot: the measured per-site counts must match the committed
+         tests/grid_cardinality_snapshot.json (regenerate with
+         GRID_SNAPSHOT_WRITE=1 after auditing any diff) — so every new
+         or re-shaped grid site shows up in review, not just the ones
+         that already crossed a threshold.
+    """
     from classification_problem_with_pyspark_spark.registry import (
         QUERIES,
         load_all_modules,
@@ -225,20 +295,47 @@ def test_grid_cardinality_sf_invariance_sweep(spark):
 
     assert lo_counts, "capture hook saw no grid sites — hook broken?"
 
+    measured: dict[str, dict[str, list[int]]] = {}
     offenders: list[str] = []
     for name, lo in sorted(lo_counts.items()):
         hi = _captured_grid_counts(spark, QUERIES[name].fn, _SF_HI)
-        if len(hi) == len(lo):
-            pairs = list(zip(lo, hi))
-        else:
-            pairs = [(max(lo), max(hi) if hi else 0)]
-        for i, (c_lo, c_hi) in enumerate(pairs):
+        measured[name] = {"lo": lo, "hi": hi}
+        for i, (c_lo, c_hi) in enumerate(_aligned_pairs(lo, hi)):
+            site = f"{name}[site {i}]"
             if _entity_scale(c_lo, c_hi):
-                offenders.append(f"{name}[site {i}]: {c_lo} -> {c_hi}")
+                offenders.append(f"{site}: {c_lo} -> {c_hi} (absolute)")
+            elif (
+                c_hi > _TREND_MIN_HI
+                and c_hi > _TREND_RATIO * c_lo
+                and site not in _TREND_ALLOW
+            ):
+                offenders.append(f"{site}: {c_lo} -> {c_hi} (trend >1.5x)")
     assert not offenders, (
         "grid sites whose cardinality grows with SF (entity-scale input "
-        "to a single-task window — use plans/global_rank bucket-stitch "
-        f"instead): {offenders}"
+        "to a single-task window — use plans/global_rank bucket-stitch, "
+        "or value_range_k for magnitude-growing domains): "
+        f"{offenders}"
+    )
+
+    if os.environ.get("GRID_SNAPSHOT_WRITE") == "1":
+        with open(_SNAPSHOT_PATH, "w") as f:
+            json.dump(measured, f, indent=1, sort_keys=True)
+        return
+    with open(_SNAPSHOT_PATH) as f:
+        committed = json.load(f)
+    drift = {
+        name: {"committed": committed.get(name), "measured": m}
+        for name, m in measured.items()
+        if committed.get(name) != m
+    } | {
+        name: {"committed": c, "measured": None}
+        for name, c in committed.items()
+        if name not in measured
+    }
+    assert not drift, (
+        "per-site grid counts drifted from tests/grid_cardinality_snapshot.json "
+        "— audit each diff (is the new count still domain-bounded?), then "
+        f"regenerate with GRID_SNAPSHOT_WRITE=1: {drift}"
     )
 
 

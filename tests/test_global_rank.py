@@ -213,3 +213,97 @@ def test_rank_plan_has_no_whole_relation_window(spark):
     # histogram) and exactly one window partitioned by the bucket key
     assert len(unpartitioned) == 1, f"partition specs: {specs!r}"
     assert len(bucket_partitioned) == 1, f"partition specs: {specs!r}"
+
+
+@pytest.mark.parametrize("helper", ["cumsum", "cummax"])
+def test_running_helpers_reject_unsupported_frame_end(spark, helper):
+    """ADVICE r10: the bucket base is always the strictly-before-bucket
+    aggregate, so any frame_end other than 0 (inclusive) or -1
+    (strictly-before) would silently include too much of the prior
+    buckets. The helpers must fail loudly at plan-build time."""
+    df = _entity_df(spark).withColumn("wgt", F.lit(1).cast("long"))
+    fn = bucketed_global_cumsum if helper == "cumsum" else bucketed_global_cummax
+    with pytest.raises(ValueError, match="frame_end"):
+        fn(df, "v", [F.asc("id")], [("out", "wgt")], frame_end=-2)
+
+
+@pytest.mark.parametrize("descending", [True, False])
+def test_value_range_k_matches_global_window_at_any_magnitude(spark, descending):
+    """Range-normalized fixed-K bucketing (VERDICT r10 #2): bucket =
+    (v - min) DIV width with width = (max - min) DIV K + 1 over broadcast
+    bounds — the bucket GRID is <= K+1 rows at ANY value magnitude, so
+    magnitude-growing domains (per-part revenue, Walsh sums of daily
+    totals) stop growing the single-task grid with data volume. Exactness
+    is pinned past 2^53 where double bucketing would misassign."""
+    big = 2**60
+    rows = [
+        (i, big + (i * 37 % 11) * 13_000_000_000 - (i % 3))  # huge, tied, uneven
+        for i in range(97)
+    ]
+    df = (
+        spark.createDataFrame(rows, "id long, raw long")
+        .groupBy("id")
+        .agg(F.first("raw").alias("v"))
+    )
+    val = F.desc("v") if descending else F.asc("v")
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(val, F.asc("id")))
+        ).collect()
+    }
+    out = bucketed_global_rank(
+        df, "v", [F.asc("id")], descending=descending, value_range_k=8
+    )
+    got = {r["id"]: r["rn"] for r in out.collect()}
+    assert got == expect
+
+
+def test_value_range_k_grid_is_k_bounded(spark):
+    """The routed grid must stay <= K+1 non-empty buckets regardless of
+    how many entities (rows) feed it — the property the fixed-width
+    2^bits buckets lacked for magnitude-growing aggregates."""
+    from classification_problem_with_pyspark_spark.plans import bounded_grid
+
+    df = (
+        spark.range(5000)
+        .groupBy("id")
+        .agg((F.col("id") * F.lit(2**40)).cast("long").alias("v"))
+    )
+    bounded_grid.GRID_CAPTURE = cap = []
+    try:
+        bucketed_global_rank(df, "v", [F.asc("id")], value_range_k=64).collect()
+    finally:
+        bounded_grid.GRID_CAPTURE = None
+    assert len(cap) == 1
+    assert cap[0].count() <= 65
+
+
+def test_idiv_exact_with_precision_loss_disabled(spark):
+    """ADVICE r10: the decimal spelling of _idiv relied on
+    spark.sql.decimalOperations.allowPrecisionLoss=true; with it false,
+    decimal(38,0)/decimal(38,0) overflows precision and returns NULL,
+    silently nulling every ntile. _idiv must be config-independent."""
+    from classification_problem_with_pyspark_spark.plans.global_rank import _idiv
+
+    key = "spark.sql.decimalOperations.allowPrecisionLoss"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        cases = [(2**62 + 12345, 7), (2**53 + 1, 2), (5, 7), (0, 3)]
+        df = spark.createDataFrame(
+            [(a, b) for a, b in cases], "a long, b long"
+        ).withColumn("q", _idiv(F.col("a"), F.col("b")))
+        got = {(r["a"], r["b"]): r["q"] for r in df.collect()}
+        assert got == {(a, b): a // b for a, b in cases}
+        # and the closed-form ntile built on it stays non-null
+        nt = (
+            spark.range(1, 8)
+            .withColumn("t", closed_form_ntile(F.col("id"), F.lit(7).cast("long"), 3))
+            .collect()
+        )
+        assert [r["t"] for r in sorted(nt, key=lambda r: r["id"])] == [
+            1, 1, 1, 2, 2, 3, 3,
+        ]
+    finally:
+        spark.conf.set(key, old)

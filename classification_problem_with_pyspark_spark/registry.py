@@ -193,66 +193,70 @@ def load_all_modules() -> None:
 # Round-10 driver-window rotation (VERDICT r7 standing item #1): the driver
 # grades only the FIRST 50 registry keys per round and never revisits, so
 # cumulative coverage is the only path to driver-side evidence for all 545
-# keys. Rounds 1-9 covered 435 distinct keys, ALL green at latest grade
-# (CORRECTNESS_r09: 50/50 hash-pass). These 50 slots are the next
-# never-graded oracle keys in original registration (import) order —
-# multimodal/agg/window/audit/llm/events/source/ml/relational/graph/
-# join/scalar families; 78 oracle + 32 rows-only keys remained ungraded
-# entering r10 (the final 28 oracle keys front in r11, then the rows-only
-# cohort). Every key below was vanilla-session verified
-# (scripts/driver_sim.py, local[8], sf0.01) before fronting.
+# keys. Rounds 1-10 covered 485 distinct keys, ALL green at latest grade
+# (CORRECTNESS_r10: 50/50 hash-pass, sixth consecutive fully green round).
+# These 50 slots are the r11 window on the written schedule (SURVEY §0):
+# the FINAL 28 never-graded oracle keys plus the FIRST 22 never-graded
+# rows-only keys, in original registration (import) order — the rows-only
+# cohort is the MLlib model-fit family (trees/regression/multiclass/FM/
+# kmeans/variants/LDA/ALS), feature/tuning/statistics wrappers, the
+# multimodal decode stub, approx sketches, and graph k-core; the last 10
+# rows-only keys close the schedule in r12. Rows-only keys grade as
+# `err: no_oracle` with stable row counts (the r2/r3 precedent). Every
+# key below was vanilla-session verified (scripts/driver_sim.py,
+# local[8], sf0.01) before fronting.
 # Keys NOT listed keep registration order after these.
 FRONT_KEYS: tuple[str, ...] = (
-    "multimodal_pair_integrity_audit",
-    "agg_waterfill_fair_allocation",
-    "window_on_balance_volume",
-    "agg_simpson_paradox_audit",
-    "audit_documents_contract",
-    "llm_rank_fusion_rrf",
-    "events_slo_error_budget",
-    "source_cursor_chain_reassembly",
-    "llm_self_consistency_vote",
-    "ml_bradley_terry_strengths",
-    "relational_inline_values_lookup",
-    "llm_collocation_lift",
-    "source_csv_bom_handling",
-    "ml_quadratic_weighted_kappa",
-    "graph_degree_ccdf_log2",
-    "source_idempotent_reload_dedup",
-    "ml_topk_accuracy_exact",
-    "ml_learning_curve_nested",
-    "agg_proportional_allocation",
-    "join_tolerance_reconciliation",
-    "scalar_duration_format_suite",
-    "agg_second_price_auction",
-    "scalar_masking_format_suite",
-    "source_csv_column_order_drift",
-    "window_mtd_pacing",
-    "ml_uncertainty_margin_sampling",
-    "events_littles_law_audit",
-    "llm_judge_position_bias",
-    "source_parquet_int96_timestamps",
-    "agg_process_capability_cpk",
-    "events_ljung_box_q",
-    "llm_budgeted_selection_greedy",
-    "events_periodicity_comb",
-    "events_survivorship_bias_audit",
-    "window_record_recovery_days",
-    "scalar_semver_ordering_suite",
-    "llm_token_offsets_audit",
-    "events_group_sequential_looks",
-    "scalar_bitpack_roundtrip_suite",
-    "join_accumulating_snapshot",
-    "agg_fisher_ideal_index",
-    "agg_borda_count_ranking",
-    "agg_price_endings_census",
-    "agg_meta_analysis_fixed_effect",
-    "source_csv_crlf_handling",
-    "llm_retrieval_mrr",
-    "agg_two_way_anova",
-    "ml_feature_scaling_suite",
-    "agg_mean_excess_pot",
-    "scalar_luhn_checksum_suite",
+    "ml_kendall_tau_rank_stability",
+    "agg_price_volume_mix_bridge",
+    "events_cron_punctuality",
+    "events_circular_hour_stats",
+    "source_degenerate_files_handling",
+    "emb_norm_quarantine",
+    "agg_hoover_index",
+    "events_queue_lindley_backlog",
+    "ml_psi_feature_stability",
+    "llm_containment_dedup",
+    "llm_group_advantage_normalize",
+    "sink_snapshot_time_travel",
+    "agg_friedman_test",
+    "window_parkinson_volatility",
+    "agg_atkinson_index",
+    "llm_mmr_diversified_topk",
+    "emb_cov_topk_pairs",
+    "ml_pr_auc_exact",
+    "events_dau_mau_stickiness",
+    "scalar_month_arithmetic_suite",
+    "llm_length_powerlaw_hill",
+    "ml_brier_decomposition_murphy",
+    "agg_simpson_diversity",
+    "window_vwap",
+    "ml_conformal_interval_split",
+    "multimodal_bmp_decode",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
+    "ml_train_trees",
+    "ml_train_others",
+    "ml_evaluate",
+    "ml_tune_cv",
+    "ml_train_multiclass",
+    "ml_cluster_kmeans",
+    "ml_feature_extras",
+    "ml_train_fm",
+    "multimodal_decode_stub",
+    "agg_percentiles_approx",
+    "ml_cluster_variants",
+    "ml_topics_lda",
+    "ml_recommend_als",
+    "ml_text_features",
+    "ml_train_regression",
+    "ml_feature_discretize",
+    "ml_stat_chi2",
+    "ml_stat_correlation",
+    "ml_tune_tvs",
+    "ml_feature_rformula",
+    "agg_freq_items",
+    "graph_kcore",
 )
 
 

@@ -26,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -140,9 +139,12 @@ def llm_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     idiom that never sorts occurrences); counts and the cumulative
     window are exact integers.
 
-    Scale: one shingle-keyed map-side-combinable min + a bounded
-    per-batch rollup; the cumulative window runs over ~corpus/batch
-    rows.
+    Scale: one shingle-keyed map-side-combinable min + a per-batch
+    rollup. The batch axis GROWS with the corpus (~corpus/batch rows —
+    10→98 per SF decade, caught by the r11 trend gate), so the
+    cumulative window is the bucket-stitch form with RANGE-NORMALIZED
+    buckets: fixed 1024 buckets over the broadcast min/max batch id
+    keep the only single-task window ≤1k rows at any corpus size.
     """
     d = load(spark, sf_dir, "documents")
     sh = (
@@ -165,9 +167,13 @@ def llm_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_batch = first_seen.groupBy(
         F.col("first_batch").alias("batch")
     ).agg(F.count("*").alias("n_new"))
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_cumsum,
+    )
+
     return (
-        grid_cumsum(
-            per_batch, ["batch"], [("cum_raw", "n_new")], keep=["batch", "n_new"]
+        bucketed_global_cumsum(
+            per_batch, "batch", [], [("cum_raw", "n_new")], value_range_k=1024
         )
         .select("batch", "n_new", F.col("cum_raw").cast("long").alias("cum_vocab"))
         .orderBy("batch")

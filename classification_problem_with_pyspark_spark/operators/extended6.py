@@ -1547,13 +1547,14 @@ def llm_quality_bucket_token_budget(spark: SparkSession, sf_dir: str) -> DataFra
 
     The per-doc work is one scan pass; the decile assignment is the
     CLOSED-FORM ntile (r7/r8 de-globalization recipe, same as
-    ml_lift_gain_deciles): a bounded distinct-length histogram gives
-    each document's global rank as base(n_chars) + its length-partitioned
-    row_number, and SQL ntile(k) is a pure function of (rank, n) — the
-    first n%k buckets hold n DIV k + 1 rows, the rest n DIV k. No
-    document row ever passes through a single-task sort; the only
-    single-partition window is the |distinct lengths| grid cumsum. All
-    outputs are exact integers + a boolean.
+    ml_lift_gain_deciles): the bucket-stitch global rank gives each
+    document's rank under (n_chars DESC, doc_id), and SQL ntile(k) is
+    a pure function of (rank, n) — the first n%k buckets hold
+    n DIV k + 1 rows, the rest n DIV k. No document row ever passes
+    through a single-task sort; the only single-partition window is
+    the ≤1k-row range-normalized length-bucket grid (r11: distinct
+    lengths track the corpus, so the old |distinct lengths| histogram
+    grew with SF). All outputs are exact integers + a boolean.
     """
     d = load(spark, sf_dir, "documents")
     scored = d.select(
@@ -1561,21 +1562,27 @@ def llm_quality_bucket_token_budget(spark: SparkSession, sf_dir: str) -> DataFra
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.length("text").alias("n_chars"),
     )
-    hist = scored.groupBy("n_chars").agg(F.count("*").alias("c"))
-    base = grid_cumsum(
-        hist,
-        [F.desc("n_chars")],
-        [("base", "c")],
-        keep=["n_chars"],
-        frame_end=-1,
+    # r11 (trend gate): distinct document lengths track the corpus
+    # (313→523 per SF decade — lengths are near-unique, not a fixed
+    # domain), so the rank is the bucket-stitch global rank with
+    # RANGE-NORMALIZED buckets (fixed 1024 buckets over the broadcast
+    # min/max length — ≤1k-row grid at any corpus size) instead of the
+    # hand-rolled distinct-length histogram.
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_rank,
     )
-    tot_n = hist.agg(F.sum("c").cast("long").alias("n"))
-    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
+
+    tot_n = scored.agg(F.count("*").cast("long").alias("n"))
     deciled = (
-        scored.withColumn("rn_in", F.row_number().over(w_in))
-        .join(F.broadcast(base), "n_chars")
+        bucketed_global_rank(
+            scored,
+            "n_chars",
+            [F.asc("doc_id")],
+            descending=True,
+            value_range_k=1024,
+            out="rn",
+        )
         .crossJoin(F.broadcast(tot_n))
-        .withColumn("rn", F.col("base") + F.col("rn_in"))
         .withColumn(
             "decile",
             F.expr(

@@ -209,7 +209,17 @@ def window_decile_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         n = df.agg(F.count("*").cast("long").alias("__n"))
         return (
             bucketed_global_rank(
-                df, "rev", ["part"], descending=True, bucket_bits=16, out="__rn"
+                df,
+                "rev",
+                ["part"],
+                descending=True,
+                # r11 (trend gate): per-part revenue MAGNITUDE grows with
+                # data volume, so fixed 2^16-cent buckets grew the grid
+                # 1022→1790 / 1104→2001 per SF decade — range-normalized
+                # fixed-K buckets over the broadcast min/max instead
+                # (same class and fix as agg_abc_xyz_classification).
+                value_range_k=1024,
+                out="__rn",
             )
             .crossJoin(F.broadcast(n))
             .withColumn(out, closed_form_ntile(F.col("__rn"), F.col("__n"), 10))

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank
+from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -101,9 +101,10 @@ def llm_budgeted_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: no global sort at all — density_micro is BOUNDED in
     [0, 1e6] by construction (floor of a ratio ≤ 1 in micro units),
-    so the per-density token-sum histogram is a ≤1e6-row grid; its
-    descending cumsum gives every density's base token count, and
-    the within-density prefix sum is PARTITIONED by density_micro.
+    but 1e6 distinct values is still a 1M-row single-task ceiling, so
+    the per-density cumsum is the bucket-stitch form (r11: 2^12-micro
+    buckets cap the only single-task window at ≤245 rows); the
+    within-density prefix sum is PARTITIONED by density_micro.
     The (density DESC, doc_id) prefix total each row needs is
     base + its own partition's prior sum — exact, and every shuffle
     key is bounded.
@@ -120,13 +121,24 @@ def llm_budgeted_selection_greedy(spark: SparkSession, sf_dir: str) -> DataFrame
         "*",
         F.expr("(1000000 * value_distinct) DIV n_tokens").alias("density_micro"),
     )
-    base = grid_cumsum(
-        ranked.groupBy("density_micro").agg(F.sum("n_tokens").alias("tsum")),
-        [F.desc("density_micro")],
-        [("base_tokens", "tsum")],
-        keep=["density_micro"],
-        frame_end=-1,
+    # r11 (trend gate): the per-density histogram is domain-bounded at
+    # 1e6 distinct micro values — but that is a 1M-row single-task
+    # ceiling at real scale (the ml_lift_gain_deciles class, r10).
+    # Bucket-stitch the descending cumsum: 2^12-micro buckets cap the
+    # only single-task window at <=245 rows at any SF.
+    from classification_problem_with_pyspark_spark.plans.global_rank import (
+        bucketed_global_cumsum,
     )
+
+    base = bucketed_global_cumsum(
+        ranked.groupBy("density_micro").agg(F.sum("n_tokens").alias("tsum")),
+        "density_micro",
+        [],
+        [("base_tokens", "tsum")],
+        descending=True,
+        bucket_bits=12,
+        frame_end=-1,
+    ).select("density_micro", "base_tokens")
     w_val = (
         Window.partitionBy("density_micro")
         .orderBy("doc_id")

@@ -245,7 +245,10 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             [],
             descending=False,
-            bucket_bits=8,
+            # r11: suppkey is an ENTITY id — fixed 2^8 buckets would grow
+            # the grid with the supplier count; range-normalized fixed-K
+            # buckets cap it at ≤1k rows at any scale.
+            value_range_k=1024,
             out="__rn",
         )
         .select(

@@ -103,7 +103,7 @@ def _with_bucket(
             F.min(value_col).cast("long").alias("__gr_mn"),
             F.max(value_col).cast("long").alias("__gr_mx"),
         )
-        return (
+        out = (
             df.withColumn("__gr_v", v.cast("long"))
             .crossJoin(F.broadcast(bounds))
             .withColumn(
@@ -115,6 +115,13 @@ def _with_bucket(
             )
             .drop("__gr_v", "__gr_mn", "__gr_mx")
         )
+        # Construction-cap tag for the cardinality tripwire: a fixed-K
+        # grid holds <= K+1 non-empty buckets at ANY scale, so the
+        # multi-SF sweep verifies the measured count against this cap
+        # instead of applying growth heuristics (occupancy legitimately
+        # fills BELOW the cap as SF grows).
+        out._grid_k_cap = int(value_range_k) + 1
+        return out
     if bucket_bits == 0:
         return df.withColumn(_BKT, v)
     return df.withColumn(_BKT, F.floor(v / F.lit(2**bucket_bits)).cast("long"))
@@ -131,11 +138,23 @@ def _check_frame_end(frame_end: int) -> None:
         )
 
 
+def _carry_cap(grid: DataFrame, bucketed: DataFrame) -> DataFrame:
+    """Propagate the fixed-K construction-cap tag from the bucketed
+    relation onto the bucket GRID handed to grid_cumsum, so the capture
+    hook (and therefore the multi-SF tripwire) sees it."""
+    cap = getattr(bucketed, "_grid_k_cap", None)
+    if cap is not None:
+        grid._grid_k_cap = cap
+    return grid
+
+
 def _bucket_bases(bucketed: DataFrame, descending: bool) -> DataFrame:
     """Non-empty-bucket grid with each bucket's strictly-before row count
     (its global rank base). The grid_cumsum input is post-groupBy, so the
     single-task window holds |non-empty buckets| rows only."""
-    bhist = bucketed.groupBy(_BKT).agg(F.count("*").alias(_CNT))
+    bhist = _carry_cap(
+        bucketed.groupBy(_BKT).agg(F.count("*").alias(_CNT)), bucketed
+    )
     order = [F.desc(_BKT)] if descending else [F.asc(_BKT)]
     return grid_cumsum(bhist, order, [(_BASE, _CNT)], keep=[_BKT], frame_end=-1)
 
@@ -221,8 +240,11 @@ def bucketed_global_cumsum(
     _check_frame_end(frame_end)
     names = list(sums)
     bucketed = _with_bucket(df, value_col, bucket_bits, value_range_k)
-    bagg = bucketed.groupBy(_BKT).agg(
-        *[F.sum(src).alias(f"__gr_s_{out}") for out, src in names]
+    bagg = _carry_cap(
+        bucketed.groupBy(_BKT).agg(
+            *[F.sum(src).alias(f"__gr_s_{out}") for out, src in names]
+        ),
+        bucketed,
     )
     order = [F.desc(_BKT)] if descending else [F.asc(_BKT)]
     bases = grid_cumsum(
@@ -269,8 +291,11 @@ def bucketed_global_cummax(
     _check_frame_end(frame_end)
     names = list(maxes)
     bucketed = _with_bucket(df, value_col, bucket_bits, value_range_k)
-    bagg = bucketed.groupBy(_BKT).agg(
-        *[F.max(src).alias(f"__gr_m_{out}") for out, src in names]
+    bagg = _carry_cap(
+        bucketed.groupBy(_BKT).agg(
+            *[F.max(src).alias(f"__gr_m_{out}") for out, src in names]
+        ),
+        bucketed,
     )
     order = [F.desc(_BKT)] if descending else [F.asc(_BKT)]
     bases = grid_cumsum(

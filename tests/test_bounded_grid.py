@@ -173,13 +173,18 @@ def _entity_scale(lo: int, hi: int) -> bool:
     return hi > 100_000 or (hi > 4 * lo and hi > 500)
 
 
-def _captured_grid_counts(spark, fn, sf_dir) -> list[int]:
+def _captured_grid_counts(spark, fn, sf_dir) -> list[tuple[int, int | None]]:
+    """(count, construction_cap) per routed grid. The cap is the
+    `_grid_k_cap` tag the fixed-K (value_range_k) bucketing attaches:
+    such grids hold <= cap non-empty buckets at ANY scale, so the sweep
+    verifies the count against the cap instead of applying growth
+    heuristics (occupancy legitimately fills below a hard cap)."""
     bounded_grid.GRID_CAPTURE = cap = []
     try:
         fn(spark, sf_dir)
     finally:
         bounded_grid.GRID_CAPTURE = None
-    return [g.count() for g in cap]
+    return [(g.count(), getattr(g, "_grid_k_cap", None)) for g in cap]
 
 
 def test_entity_scale_relation_trips_the_cardinality_rule(spark):
@@ -211,7 +216,38 @@ def test_entity_scale_relation_trips_the_cardinality_rule(spark):
 # sf0.1 is flagged unless allowlisted here with a saturation argument
 # (the reason a finite domain cap bounds it at every SF).
 _TREND_RATIO, _TREND_MIN_HI = 1.5, 50
-_TREND_ALLOW: dict[str, str] = {}
+# Each entry documents why a finite, data-independent VALUE-DOMAIN cap
+# bounds the site at every SF; the measured sf0.01→sf0.1 growth is
+# occupancy filling BELOW that cap, not the cap moving. (Sites capped
+# by fixed-K bucketing need no entry: value_range_k tags its grid with
+# `_grid_k_cap` and the sweep verifies count <= cap structurally.)
+# The r11 first run of this gate flagged ten sites: five were real
+# growers and were rewritten (window_decile_migration_matrix ×2,
+# llm_budgeted_selection_greedy, llm_quality_bucket_token_budget,
+# llm_vocab_growth_curve — plus the unflagged-but-same-class
+# sort_nulls suppkey branch, proactively); these five are the
+# domain-capped remainder.
+_TREND_ALLOW: dict[str, str] = {
+    "events_kaplan_meier[site 1]": (
+        "hour-granular duration domain: t_hours <= the fixed ~30-day "
+        "event window in hours (~730 cap); 59->97 is day-fill"
+    ),
+    "ml_uncertainty_margin_sampling[site 0]": (
+        "margin = top1-top2 of md5%1000(+boost) scores: domain subset of "
+        "[0, 999+boost] by literal construction; 297->510 fills that cap"
+    ),
+    "scalar_semver_ordering_suite[site 0]": (
+        "version numeric domain = (suppkey%3, %13, %7) folds: exactly "
+        "3*13*7 = 273 values; sf0.1 sits AT the cap (100->273)"
+    ),
+    "scalar_semver_ordering_suite[site 1]": (
+        "version string domain: same 273-value construction cap as site 0"
+    ),
+    "sort_nulls_ordering[site 0]": (
+        "16-unit buckets over the fixed TPC-H acctbal range "
+        "[-999.99, 9999.99]: <=688 buckets at any SF; 87->493 fills the cap"
+    ),
+}
 
 _SNAPSHOT_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "grid_cardinality_snapshot.json"
@@ -219,14 +255,14 @@ _SNAPSHOT_PATH = os.path.join(
 
 
 def _aligned_pairs(lo: list[int], hi: list[int]) -> list[tuple[int, int]]:
-    """Cross-SF site alignment. Per-index when the capture counts agree
-    (plan building is deterministic). When a data-dependent iterative key
-    changes its round count with SF, align the DESCENDING-sorted count
-    lists pairwise, padding the missing side with 0 (ADVICE r10: the old
-    max-vs-max fallback let a small growing grid hide behind a large
-    saturated one; sorted pairwise keeps every site in scope, and an
-    extra hi-side site with no lo counterpart compares against 0, which
-    trips the trend gate if it is big)."""
+    """Cross-SF site alignment of plain counts. Per-index when the
+    capture counts agree (plan building is deterministic). When a
+    data-dependent iterative key changes its round count with SF, align
+    the DESCENDING-sorted count lists pairwise, padding the missing side
+    with 0 (ADVICE r10: the old max-vs-max fallback let a small growing
+    grid hide behind a large saturated one; sorted pairwise keeps every
+    site in scope, and an extra hi-side site with no lo counterpart
+    compares against 0, which trips the trend gate if it is big)."""
     if len(hi) == len(lo):
         return list(zip(lo, hi))
     return list(
@@ -287,7 +323,7 @@ def test_grid_cardinality_sf_invariance_sweep(spark):
     )
 
     load_all_modules()
-    lo_counts: dict[str, list[int]] = {}
+    lo_counts: dict[str, list[tuple[int, int | None]]] = {}
     for name in sorted(QUERIES):
         counts = _captured_grid_counts(spark, QUERIES[name].fn, _SF_LO)
         if counts:
@@ -295,13 +331,32 @@ def test_grid_cardinality_sf_invariance_sweep(spark):
 
     assert lo_counts, "capture hook saw no grid sites — hook broken?"
 
-    measured: dict[str, dict[str, list[int]]] = {}
+    measured: dict[str, dict[str, list]] = {}
     offenders: list[str] = []
     for name, lo in sorted(lo_counts.items()):
         hi = _captured_grid_counts(spark, QUERIES[name].fn, _SF_HI)
-        measured[name] = {"lo": lo, "hi": hi}
-        for i, (c_lo, c_hi) in enumerate(_aligned_pairs(lo, hi)):
+        measured[name] = {
+            "lo": [c for c, _ in lo],
+            "hi": [c for c, _ in hi],
+            "caps": [k for _, k in hi],
+        }
+        # caps align per-index only when the capture shapes agree; the
+        # sorted fallback (rare, iterative keys) is cap-blind by design
+        caps = [k for _, k in hi] if len(hi) == len(lo) else [None] * max(
+            len(hi), len(lo)
+        )
+        aligned = _aligned_pairs([c for c, _ in lo], [c for c, _ in hi])
+        for i, (c_lo, c_hi) in enumerate(aligned):
             site = f"{name}[site {i}]"
+            cap = caps[i] if i < len(caps) else None
+            if cap is not None:
+                # structurally capped (fixed-K bucketing): verify the
+                # cap instead of growth heuristics
+                if c_hi > cap:
+                    offenders.append(
+                        f"{site}: {c_hi} exceeds its construction cap {cap}"
+                    )
+                continue
             if _entity_scale(c_lo, c_hi):
                 offenders.append(f"{site}: {c_lo} -> {c_hi} (absolute)")
             elif (

@@ -277,6 +277,9 @@ def test_value_range_k_grid_is_k_bounded(spark):
         bounded_grid.GRID_CAPTURE = None
     assert len(cap) == 1
     assert cap[0].count() <= 65
+    # the construction cap rides on the routed grid, so the multi-SF
+    # tripwire can verify count <= cap instead of growth heuristics
+    assert getattr(cap[0], "_grid_k_cap", None) == 65
 
 
 def test_idiv_exact_with_precision_loss_disabled(spark):

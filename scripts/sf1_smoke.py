@@ -57,6 +57,38 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 KEYS = ("agg_rfm_segmentation", "agg_spearman_corr", "join_skyline_pareto")
+
+# Oracle overrides for the 10x fixture ONLY. join_skyline_pareto's
+# primary oracle states dominance directly (NOT EXISTS — quadratic,
+# IEJoin-feasible at sf0.1's 150k orders, measured infeasible at the
+# fixture's 1.5M). The override is DuckDB's O(n log n) window
+# formulation of the same semantics (the per-price reduction the key's
+# docstring proves); the full quadratic semantics stays verified at
+# sf0.1 by the primary oracle every run, so the synth check's job —
+# hash stability of the Spark plan at 10x entities — is preserved.
+SYNTH_ORACLE_OVERRIDES = {
+    "join_skyline_pareto": """
+    WITH o AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+        FROM orders
+    ),
+    per_price AS (
+        SELECT cents, MAX(d) AS m_equal FROM o GROUP BY cents
+    ),
+    frontier AS (
+        SELECT cents, m_equal,
+               MAX(m_equal) OVER (ORDER BY cents DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS m_higher
+        FROM per_price
+    )
+    SELECT o.o_orderkey, o.cents, o.d
+    FROM o JOIN frontier f ON f.cents = o.cents
+    WHERE (f.m_higher IS NULL OR f.m_higher < o.d) AND f.m_equal <= o.d
+    ORDER BY o.cents DESC, o.o_orderkey
+    """,
+}
 REPLICAS = 10
 USER_STRIDE = 10_000  # > max user_id 1499 at sf0.1
 EVENT_STRIDE = 10_000_000
@@ -176,7 +208,10 @@ def main() -> int:
 
             # oracle parity on the same dir (the driver-surface check)
             register_views(con, sf_dir)
-            ok, msg = compare(key, df, q.oracle, con)
+            oracle = q.oracle
+            if label == "synth-sf1" and key in SYNTH_ORACLE_OVERRIDES:
+                oracle = SYNTH_ORACLE_OVERRIDES[key]
+            ok, msg = compare(key, df, oracle, con)
             print(f"{key} @ {label}: oracle {'HASH-OK' if ok else 'FAIL: ' + msg}")
             if not ok:
                 failed.append((key, label, msg))

@@ -225,7 +225,16 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_global_rank,
     )
 
-    tot_pairs = walsh.agg(F.count("*").cast("long").alias("n"))
+    # Pair count CLOSED-FORM off the bounded daily aggregate (ADVICE
+    # r11): the da <= db join emits exactly n*(n+1)/2 rows for n days,
+    # so counting the quadratic pair relation itself was a full O(n²)
+    # scan spent on a number derivable from the O(n) side for free.
+    # (The value_range_k bounds min/max is now the only extra walsh
+    # pass, and it shares the pair join's exchange via ReuseExchange.)
+    tot_days = daily.agg(F.count("*").cast("long").alias("n"))
+    tot_pairs = tot_days.select(
+        F.expr("(n * (n + 1)) DIV 2").cast("long").alias("n")
+    )
     granked = bucketed_global_rank(
         walsh, "w2", [], descending=False, value_range_k=4096, out="grank"
     ).select("w2", "grank")
@@ -238,7 +247,6 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hl4_cents"),
     )
-    tot_days = daily.agg(F.count("*").cast("long").alias("n"))
     ranked_d = grid_rank(
         daily.crossJoin(F.broadcast(tot_days)), ["cents"], "rn"
     ).select("cents", "rn", "n")

@@ -58,6 +58,16 @@ _BASE = "__gr_base"
 
 _INTEGRAL_TYPES = {"bigint", "int", "smallint", "tinyint"}
 
+# Test-only tag log (ADVICE r11): `_grid_k_cap` is a dynamic Python
+# attribute propagated manually (`_carry_cap`), so a future transformation
+# inserted between the tagging in `_with_bucket` and the bucket groupBy
+# would silently drop it and the tripwire would fall back to trend
+# heuristics. When set to a list, every value_range_k tagging appends its
+# cap here; the multi-SF sweep cross-checks the multiset of caps observed
+# ON captured grids against this log, so a dropped tag fails loudly
+# instead of degrading invisibly.
+RANGE_K_TAG_LOG: list[int] | None = None
+
 
 def _with_bucket(
     df: DataFrame,
@@ -92,35 +102,57 @@ def _with_bucket(
         # arithmetic is exact long DIV (monotone in v, so cross-bucket
         # ordering is preserved). Integral value domains only — the two
         # extra aggregate passes (min/max) share the input's exchange via
-        # ReuseExchange. Range overflow needs max-min < 2^63: every cents
-        # domain satisfies it by ~9 decimal orders.
+        # ReuseExchange. Range overflow needs max-min < 2^63; rather than
+        # documenting that precondition, the width is computed ONCE in the
+        # bounds aggregate behind a loud guard (ADVICE r11): a domain
+        # spanning large-negative to large-positive longs overflows
+        # (mx - mn) — wrapping NEGATIVE under non-ANSI (which would yield
+        # a non-positive width and silently corrupt every bucket, hence
+        # every rank) and throwing Spark's generic ARITHMETIC_OVERFLOW
+        # under ANSI. `try_subtract` returns NULL on overflow in BOTH
+        # modes, so the guard is deterministic regardless of the session's
+        # ansi setting: width NULL while max is non-NULL == overflow ->
+        # raise_error names this helper and the offending column. Empty
+        # input keeps its prior behavior: NULL bounds -> NULL width ->
+        # NULL bucket on zero rows (max is NULL, so the guard stays off).
         dt = df.schema[value_col].dataType.simpleString()
         if dt not in _INTEGRAL_TYPES:
             raise ValueError(
                 f"value_range_k requires an integral value column, got {dt!r}"
             )
+        k = int(value_range_k)
         bounds = df.agg(
             F.min(value_col).cast("long").alias("__gr_mn"),
             F.max(value_col).cast("long").alias("__gr_mx"),
+        ).withColumn(
+            "__gr_w",
+            F.when(
+                F.col("__gr_mx").isNotNull()
+                & F.expr("try_subtract(__gr_mx, __gr_mn)").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "bucketed_global_* value_range_k: value range "
+                        f"max-min of column {value_col!r} overflows signed "
+                        "64-bit; range-normalized bucketing requires "
+                        "max-min < 2^63"
+                    )
+                ).cast("long"),
+            ).otherwise(F.expr(f"try_subtract(__gr_mx, __gr_mn) DIV {k} + 1")),
         )
         out = (
             df.withColumn("__gr_v", v.cast("long"))
             .crossJoin(F.broadcast(bounds))
-            .withColumn(
-                _BKT,
-                F.expr(
-                    "(__gr_v - __gr_mn) DIV "
-                    f"((__gr_mx - __gr_mn) DIV {int(value_range_k)} + 1)"
-                ),
-            )
-            .drop("__gr_v", "__gr_mn", "__gr_mx")
+            .withColumn(_BKT, F.expr("(__gr_v - __gr_mn) DIV __gr_w"))
+            .drop("__gr_v", "__gr_mn", "__gr_mx", "__gr_w")
         )
         # Construction-cap tag for the cardinality tripwire: a fixed-K
         # grid holds <= K+1 non-empty buckets at ANY scale, so the
         # multi-SF sweep verifies the measured count against this cap
         # instead of applying growth heuristics (occupancy legitimately
         # fills BELOW the cap as SF grows).
-        out._grid_k_cap = int(value_range_k) + 1
+        out._grid_k_cap = k + 1
+        if RANGE_K_TAG_LOG is not None:
+            RANGE_K_TAG_LOG.append(k + 1)
         return out
     if bucket_bits == 0:
         return df.withColumn(_BKT, v)

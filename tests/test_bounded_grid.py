@@ -19,7 +19,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from classification_problem_with_pyspark_spark.plans import bounded_grid
+from classification_problem_with_pyspark_spark.plans import bounded_grid, global_rank
 from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 
 
@@ -178,13 +178,31 @@ def _captured_grid_counts(spark, fn, sf_dir) -> list[tuple[int, int | None]]:
     `_grid_k_cap` tag the fixed-K (value_range_k) bucketing attaches:
     such grids hold <= cap non-empty buckets at ANY scale, so the sweep
     verifies the count against the cap instead of applying growth
-    heuristics (occupancy legitimately fills below a hard cap)."""
+    heuristics (occupancy legitimately fills below a hard cap).
+
+    Cap-propagation cross-check (ADVICE r11): the tag is a dynamic
+    attribute carried manually from `_with_bucket` to the bucket grid; a
+    transformation inserted between tagging and the groupBy would drop it
+    silently. Every value_range_k tagging logs its cap to
+    `global_rank.RANGE_K_TAG_LOG`; asserting the multiset of caps seen ON
+    captured grids equals the logged multiset turns a dropped tag into a
+    loud failure naming the query."""
     bounded_grid.GRID_CAPTURE = cap = []
+    global_rank.RANGE_K_TAG_LOG = tags = []
     try:
         fn(spark, sf_dir)
     finally:
         bounded_grid.GRID_CAPTURE = None
-    return [(g.count(), getattr(g, "_grid_k_cap", None)) for g in cap]
+        global_rank.RANGE_K_TAG_LOG = None
+    out = [(g.count(), getattr(g, "_grid_k_cap", None)) for g in cap]
+    carried = sorted(k for _, k in out if k is not None)
+    assert carried == sorted(tags), (
+        f"value_range_k cap tags dropped between _with_bucket and the "
+        f"captured grid: tagged caps {sorted(tags)} but grids carry "
+        f"{carried} — a transformation between tagging and the bucket "
+        f"groupBy lost the _grid_k_cap attribute (see _carry_cap)"
+    )
+    return out
 
 
 def test_entity_scale_relation_trips_the_cardinality_rule(spark):

@@ -282,6 +282,67 @@ def test_value_range_k_grid_is_k_bounded(spark):
     assert getattr(cap[0], "_grid_k_cap", None) == 65
 
 
+def test_value_range_k_range_overflow_fails_loudly(spark):
+    """ADVICE r11: a value domain spanning large-negative to
+    large-positive longs overflows (max - min) to a NEGATIVE value; the
+    old form would have produced a non-positive width and silently wrong
+    ranks. The width is now computed in the broadcast bounds aggregate
+    behind a raise_error guard, so a non-conforming call site fails the
+    job instead of corrupting every rank."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    df = (
+        spark.createDataFrame(
+            [(0, -(2**62) - 10), (1, 2**62 + 10)], "id long, v long"
+        )
+        .groupBy("id")
+        .agg(F.first("v").alias("v"))
+    )
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
+        bucketed_global_rank(df, "v", [F.asc("id")], value_range_k=8).collect()
+    assert "overflows signed 64-bit" in str(ei.value)
+    # conforming domains are untouched by the guard
+    ok = (
+        spark.createDataFrame([(0, -50), (1, 70)], "id long, v long")
+        .groupBy("id")
+        .agg(F.first("v").alias("v"))
+    )
+    got = {
+        r["id"]: r["rn"]
+        for r in bucketed_global_rank(
+            ok, "v", [F.asc("id")], descending=False, value_range_k=8
+        ).collect()
+    }
+    assert got == {0: 1, 1: 2}
+
+
+def test_value_range_k_tag_log_records_each_tagging(spark):
+    """ADVICE r11: the cap cross-check hook — every value_range_k
+    tagging appends its cap to RANGE_K_TAG_LOG (when armed), and the
+    captured grid carries the same cap, so the multi-SF sweep can assert
+    tags == caps-on-grids and catch a dropped dynamic attribute."""
+    from classification_problem_with_pyspark_spark.plans import (
+        bounded_grid,
+        global_rank,
+    )
+
+    df = (
+        spark.range(100)
+        .groupBy("id")
+        .agg(F.max(F.col("id") * 1000).alias("v"))
+    )
+    bounded_grid.GRID_CAPTURE = cap = []
+    global_rank.RANGE_K_TAG_LOG = tags = []
+    try:
+        bucketed_global_rank(df, "v", [F.asc("id")], value_range_k=16)
+    finally:
+        bounded_grid.GRID_CAPTURE = None
+        global_rank.RANGE_K_TAG_LOG = None
+    assert tags == [17]
+    assert [getattr(g, "_grid_k_cap", None) for g in cap] == [17]
+
+
 def test_idiv_exact_with_precision_loss_disabled(spark):
     """ADVICE r10: the decimal spelling of _idiv relied on
     spark.sql.decimalOperations.allowPrecisionLoss=true; with it false,

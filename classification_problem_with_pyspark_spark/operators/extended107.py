@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 # literal trig table: hour -> (sin, cos) in micro units, Python-computed
 HOUR_TRIG = tuple(
@@ -160,7 +160,9 @@ def source_degenerate_files_handling(spark: SparkSession, sf_dir: str) -> DataFr
     os.makedirs(stage)
     rows = sorted(
         (r.n_nationkey, r.n_name)
-        for r in load(spark, sf_dir, "nation").collect()
+        for r in bounded_collect(
+            load(spark, sf_dir, "nation"), max_rows=25, what="nation dim"
+        )
     )
     with open(os.path.join(stage, "part-0.csv"), "w") as f:
         f.write("nation_key,name\n")

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 TAIL_PCT_DIV = 100  # top n DIV 100 rows = the "p99 tail"
 
@@ -211,7 +211,8 @@ def source_jsonl_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     rows = sorted(
-        (r.n_nationkey, r.n_name, r.n_regionkey) for r in n.collect()
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in bounded_collect(n, max_rows=25, what="nation dim")
     )
     path = os.path.join(stage, "part-0.jsonl")
     with open(path, "w") as f:

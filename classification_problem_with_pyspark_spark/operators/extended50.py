@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 # fixed-width layout: key 4 | name 25 | regionkey 4 (copybook-style)
 FW_KEY_W = 4
@@ -82,7 +82,9 @@ def source_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage)
     rows = sorted(
         (r.n_nationkey, r.n_name, r.n_regionkey)
-        for r in load(spark, sf_dir, "nation").collect()
+        for r in bounded_collect(
+            load(spark, sf_dir, "nation"), max_rows=25, what="nation dim"
+        )
     )
     path = os.path.join(stage, "part-0.dat")
     with open(path, "w") as f:

@@ -38,7 +38,7 @@ from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 
 @register(
@@ -78,7 +78,11 @@ def source_json_multiline_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage)
     rows = sorted(
         (r.s_suppkey, r.s_name, r.s_nationkey, round(r.s_acctbal, 2))
-        for r in load(spark, sf_dir, "supplier").collect()
+        for r in bounded_collect(
+            load(spark, sf_dir, "supplier"),
+            max_rows=100_000,
+            what="supplier dim (fixture staging)",
+        )
     )
     payload = [
         {"supp_key": k, "name": n, "nation_key": nk, "acctbal": b}

@@ -38,7 +38,7 @@ from classification_problem_with_pyspark_spark.operators.extended27 import (
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 COST_FP = 1  # cost units per false positive (needless outreach)
 COST_FN = 8  # cost units per false negative (missed conversion)
@@ -81,7 +81,11 @@ def source_csv_locale_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage)
     rows = sorted(
         (r.s_suppkey, r.s_name, round(r.s_acctbal * 100))
-        for r in load(spark, sf_dir, "supplier").collect()
+        for r in bounded_collect(
+            load(spark, sf_dir, "supplier"),
+            max_rows=100_000,
+            what="supplier dim (fixture staging)",
+        )
     )
     path = os.path.join(stage, "part-0.csv")
     with open(path, "w") as f:

@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 TRAILER_SHARDS = 3  # nation split into 3 bank-file shards
 CORRUPT_SHARD = 1  # this shard loses its last body record (injected)
@@ -172,7 +172,9 @@ def source_trailer_record_validation(spark: SparkSession, sf_dir: str) -> DataFr
     os.makedirs(stage)
     rows = sorted(
         (r.n_nationkey, r.n_name, r.n_regionkey)
-        for r in load(spark, sf_dir, "nation").collect()
+        for r in bounded_collect(
+            load(spark, sf_dir, "nation"), max_rows=25, what="nation dim"
+        )
     )
     for shard in range(TRAILER_SHARDS):
         body = [(k, n, rg) for k, n, rg in rows if k % TRAILER_SHARDS == shard]

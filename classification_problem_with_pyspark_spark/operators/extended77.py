@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 HI_CENTS = 10_000  # enter alert above this (~p88 of the fixture)
 LO_CENTS = 2_000  # exit alert below this (the hysteresis band)
@@ -196,7 +196,9 @@ def source_csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage)
     rows = sorted(
         (r.n_nationkey, r.n_name, r.n_regionkey)
-        for r in load(spark, sf_dir, "nation").collect()
+        for r in bounded_collect(
+            load(spark, sf_dir, "nation"), max_rows=25, what="nation dim"
+        )
     )
     path = os.path.join(stage, "part-0.csv")
     with open(path, "w") as f:

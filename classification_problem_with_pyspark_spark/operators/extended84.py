@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank, grid_shift
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 PAGE_SIZE = 4  # nations per export page
 VOTE_N = 9  # samples per task (odd — no tie rule needed)
@@ -88,7 +88,9 @@ def source_cursor_chain_reassembly(spark: SparkSession, sf_dir: str) -> DataFram
     os.makedirs(stage)
     rows = sorted(
         (r.n_nationkey, r.n_name)
-        for r in load(spark, sf_dir, "nation").collect()
+        for r in bounded_collect(
+            load(spark, sf_dir, "nation"), max_rows=25, what="nation dim"
+        )
     )
     pages = [rows[i : i + PAGE_SIZE] for i in range(0, len(rows), PAGE_SIZE)]
     import hashlib

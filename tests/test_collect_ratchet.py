@@ -28,21 +28,15 @@ COLLECT_ALLOWLIST = {
     "operators/extended8.py": (1, "limit(1) argmax bigram"),
     "operators/extended20.py": (1, "band manifest: plan-time metadata, rows = |bands|"),
     "operators/extended34.py": (1, "txn-log manifest paths: rows = |log actions|"),
-    "operators/extended43.py": (1, "25-row nation dim"),
-    "operators/extended50.py": (1, "25-row nation dim"),
-    "operators/extended53.py": (1, "supplier dim (sf-bounded small)"),
     "operators/extended54.py": (2, "two 1-row aggregate folds"),
     "operators/extended56.py": (2, "K sequential 1-row farthest-first seed collects"),
-    "operators/extended62.py": (1, "supplier dim (sf-bounded small)"),
-    "operators/extended74.py": (1, "25-row nation dim"),
-    "operators/extended77.py": (1, "25-row nation dim"),
-    "operators/extended84.py": (1, "25-row nation dim"),
-    "operators/extended86.py": (1, "25-row nation dim"),
-    "operators/extended88.py": (1, "25-row nation dim"),
-    "operators/extended92.py": (1, "25-row nation dim"),
-    "operators/extended102.py": (1, "25-row nation dim"),
-    "operators/extended107.py": (1, "25-row nation dim"),
     "operators/extended111.py": (1, "snapshot-log manifest paths: rows = |log actions|"),
+    # r12 (VERDICT r11 #8): the 12 former per-file nation/supplier dim
+    # entries (extended43/50/53/62/74/77/84/86/88/92/102/107) now route
+    # through catalog.bounded_collect — limit(max_rows+1)-capped with a
+    # loud overflow error, so the boundedness claim is EXECUTABLE instead
+    # of a comment here. One real site + one docstring mention.
+    "sources/catalog.py": (2, "bounded_collect helper (1 docstring mention)"),
 }
 
 _BANNED = re.compile(r"\.toPandas\(\)|\.toLocalIterator\(\)")

@@ -21,8 +21,12 @@ verifies:
      the plan stays multi-task with only the grid-sized single-task
      stages at 10x the entities.
 
-KEYS covers the r9 rewrites (agg_rfm_segmentation, agg_spearman_corr)
-and the r10 bucketed_global_cummax rewrite (join_skyline_pareto).
+KEYS covers the r9 rewrites (agg_rfm_segmentation, agg_spearman_corr),
+the r10 bucketed_global_cummax rewrite (join_skyline_pareto), and — r12 —
+the r11 value_range_k rewrite (agg_hodges_lehmann: the 10x fixture grows
+the Walsh-sum VALUE RANGE ~10x at a fixed day count, the exact case
+range-normalized bucketing exists for; its primary oracle is day-count-
+bounded so no synth override is needed).
 
 Usage: python scripts/sf1_smoke.py [repo_root [src_sf_dir [synth_dir]]]
 (or env SPARK_GRAFT_REPO / SPARK_GRAFT_SF1_SRC / SPARK_GRAFT_SF1_SYNTH;
@@ -56,7 +60,19 @@ SYNTH = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-KEYS = ("agg_rfm_segmentation", "agg_spearman_corr", "join_skyline_pareto")
+KEYS = (
+    "agg_rfm_segmentation",
+    "agg_spearman_corr",
+    "join_skyline_pareto",
+    # r12 (VERDICT r11 #5): the value_range_k poster child. The 10x
+    # orders fixture grows the DAILY-REVENUE MAGNITUDE ~10x (10 replicas
+    # of each order land on the same o_orderdate) while the day count —
+    # and therefore the Walsh pair count and the window-form oracle's
+    # cost — stays fixed, so this exercises exactly the case fixed-width
+    # buckets failed at (range-tracking grids): the range-normalized
+    # 4096-bucket grid must hold <= 4097 rows at 10x the value range.
+    "agg_hodges_lehmann",
+)
 
 # Oracle overrides for the 10x fixture ONLY. join_skyline_pareto's
 # primary oracle states dominance directly (NOT EXISTS — quadratic,

@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 ASOF_COMMIT = 2  # read the table as of this commit (before the swap)
 
@@ -102,7 +102,12 @@ def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds_df = log.where(F.col("action") == "add").select("path")
     removes_df = log.where(F.col("action") == "remove").select("path")
     live = sorted(
-        r.path for r in adds_df.join(removes_df, "path", "left_anti").collect()
+        r.path
+        for r in bounded_collect(
+            adds_df.join(removes_df, "path", "left_anti"),
+            max_rows=10_000,
+            what="snapshot-log live-file manifest",
+        )
     )
     table = spark.read.parquet(*live)
     return (

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import TMP_DIR, load
+from classification_problem_with_pyspark_spark.sources.catalog import TMP_DIR, bounded_collect, load
 
 
 @register(
@@ -90,7 +90,11 @@ def sink_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.max("o_totalprice").alias("mx"))
     )
-    bands = manifest.select("band", "mx").collect()  # plan-time metadata
+    # plan-time metadata: |bands| = ceil(price_range / 50k) — a
+    # value-domain grid (~12 at any SF), not a data-sized relation
+    bands = bounded_collect(
+        manifest.select("band", "mx"), max_rows=1_000, what="price-band manifest"
+    )
     selected = sorted(r.band for r in bands if r.mx > 450000.0)
     paths = [os.path.join(root, f"band={b}") for b in selected]
 

@@ -37,7 +37,7 @@ from classification_problem_with_pyspark_spark.operators.extended27 import (
 )
 from classification_problem_with_pyspark_spark.operators.sinks import _roundtrip_dir
 from classification_problem_with_pyspark_spark.registry import register
-from classification_problem_with_pyspark_spark.sources.catalog import load
+from classification_problem_with_pyspark_spark.sources.catalog import bounded_collect, load
 
 
 def _md5_bit(salt: str, col: str) -> F.Column:
@@ -323,7 +323,11 @@ def source_txn_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes_df = log.where(F.col("action") == "remove").select("path")
     live = [
         r.path
-        for r in adds_df.join(removes_df, "path", "left_anti").collect()
+        for r in bounded_collect(
+            adds_df.join(removes_df, "path", "left_anti"),
+            max_rows=10_000,
+            what="txn-log live-file manifest",
+        )
     ]
     live.sort()
     table = spark.read.parquet(*live)

@@ -26,16 +26,17 @@ COLLECT_ALLOWLIST = {
     "streaming/wrappers.py": (1, "test convenience: memory-sink table of a smoke-SF stream"),
     "operators/sinks.py": (2, "limit(500) malformed-CSV stage; 40-doc binaryFile fixture"),
     "operators/extended8.py": (1, "limit(1) argmax bigram"),
-    "operators/extended20.py": (1, "band manifest: plan-time metadata, rows = |bands|"),
-    "operators/extended34.py": (1, "txn-log manifest paths: rows = |log actions|"),
     "operators/extended54.py": (2, "two 1-row aggregate folds"),
     "operators/extended56.py": (2, "K sequential 1-row farthest-first seed collects"),
-    "operators/extended111.py": (1, "snapshot-log manifest paths: rows = |log actions|"),
     # r12 (VERDICT r11 #8): the 12 former per-file nation/supplier dim
-    # entries (extended43/50/53/62/74/77/84/86/88/92/102/107) now route
+    # entries (extended43/50/53/62/74/77/84/86/88/92/102/107) AND the
+    # three manifest-planning entries (extended20/34/111) now route
     # through catalog.bounded_collect — limit(max_rows+1)-capped with a
     # loud overflow error, so the boundedness claim is EXECUTABLE instead
-    # of a comment here. One real site + one docstring mention.
+    # of a comment here. One real site + one docstring mention. The
+    # remaining direct sites above are structurally bounded by
+    # construction (limit(1) / global 1-row aggregates), where a
+    # max_rows cap would restate what the plan already enforces.
     "sources/catalog.py": (2, "bounded_collect helper (1 docstring mention)"),
 }
 

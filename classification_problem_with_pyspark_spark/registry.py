@@ -198,11 +198,13 @@ def load_all_modules() -> None:
 # rows-only clean, seventh consecutive fully green round). These 50 slots
 # are the r12 window on the written schedule (SURVEY §0): the FINAL 10
 # never-graded rows-only keys (registration order) — closing driver
-# coverage at 545/545 — followed by the 40 OLDEST-graded keys (r1 grade
-# order: the §2.2 projection/filter block, the core join/subquery block,
-# the core agg block, and the first four windows), whose r1 grades are 11
-# rounds stale and are re-graded for evidence freshness. Rows-only keys
-# grade as `err: no_oracle` with stable row counts (the r2/r3 precedent).
+# coverage at 545/545 — followed by the 40 keys whose LATEST driver grade
+# is OLDEST (all r1-latest; keys r2/r3 re-graded after the early fixes
+# rank behind keys graded ONLY in r1), the same latest-oldest-first
+# cadence SURVEY §0 writes down for r13+. This exact window is what
+# `scripts/rotation_plan.py` emits — future rounds regenerate it
+# mechanically instead of re-deriving it by hand. Rows-only keys grade
+# as `err: no_oracle` with stable row counts (the r2/r3 precedent).
 # Every key below was vanilla-session verified (scripts/driver_sim.py,
 # sf0.01) before fronting.
 # Keys NOT listed keep registration order after these.
@@ -231,18 +233,14 @@ FRONT_KEYS: tuple[str, ...] = (
     "join_semi",
     "join_anti",
     "join_cross_small",
-    "join_range_events",
-    "join_asof_events",
     "topk_revenue",
     "join_5way_regional_revenue",
     "subquery_scalar_above_avg",
     "subquery_exists_not_exists",
-    "join_asof_pandas",
     "groupby_count",
     "agg_pricing_summary",
     "agg_describe",
     "agg_count_distinct",
-    "agg_approx_distinct",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
@@ -252,11 +250,15 @@ FRONT_KEYS: tuple[str, ...] = (
     "agg_percentiles",
     "agg_collect_sorted",
     "audit_table_profile",
-    "agg_hll_sketch_mergeable",
     "window_topn_per_group",
-    "window_lag_lead_events",
     "window_running_sum",
-    "window_sliding_value",
+    "window_ntile",
+    "window_first_last_nth",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "scalar_string_suite",
 )
 
 

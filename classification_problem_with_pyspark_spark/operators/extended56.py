@@ -106,22 +106,27 @@ def emb_farthest_first_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pairwise matrix. The exact argmax per round is the part
     k-means++'s sampling replaces when even K scans is too many.
     """
-    from classification_problem_with_pyspark_spark.functions.vector import dot
-
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     first = e.orderBy("vec_id").limit(1)
-    chosen = [
-        (0, first)
-    ]  # list of (round, single-row DF with vec_id+embedding)
     rows = first.collect()
-    picked = [(0, rows[0].vec_id, 0.0, rows[0].embedding)]
+    picked = [(0, rows[0].vec_id, 0.0, list(rows[0].embedding))]
 
-    def dist(a, b):
+    # r12 optimization (guide §2.4/§3): the chosen-seed set is ≤K rows of
+    # PLAN-TIME data, so each round's min-distance is a per-row least()
+    # over K literal seed vectors — zero joins, zero exchanges: the round
+    # is scan → project → TakeOrdered(1). The former form anti-joined and
+    # cross-joined a broadcast seed DF and then ran groupBy(vec_id,
+    # embedding) — a full shuffle of every embedding PER ROUND (K shuffles
+    # of the payload; measured 8.6 s → 3.2 s med at sf0.1). The literal
+    # seeds cast to double exactly like the old array<float> column did,
+    # so the ROUND(·,6) argmax is bit-identical (hash-verified).
+    def dist_to(lit_emb):
+        b = F.array(*[F.lit(float(x)) for x in lit_emb])
         return F.round(
             F.sqrt(
                 F.aggregate(
                     F.zip_with(
-                        a,
+                        F.col("embedding"),
                         b,
                         lambda x, y: (x.cast("double") - y.cast("double"))
                         * (x.cast("double") - y.cast("double")),
@@ -134,20 +139,17 @@ def emb_farthest_first_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for r in range(1, N_SEEDS + 1):
-        chosen_df = spark.createDataFrame(
-            [(vid, emb) for _, vid, _, emb in picked],
-            "c_id long, c_emb array<float>",
-        )
+        ids = [vid for _, vid, _, _ in picked]
+        dists = [dist_to(emb) for _, _, _, emb in picked]
+        d_near = F.least(*dists) if len(dists) > 1 else dists[0]
         cand = (
-            e.join(F.broadcast(chosen_df), e.vec_id == chosen_df.c_id, "left_anti")
-            .crossJoin(F.broadcast(chosen_df))
-            .groupBy("vec_id", "embedding")
-            .agg(F.min(dist(F.col("embedding"), F.col("c_emb"))).alias("d_near"))
+            e.where(~F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding", d_near.alias("d_near"))
             .orderBy(F.desc("d_near"), "vec_id")
             .limit(1)
         )
         row = cand.collect()[0]
-        picked.append((r, row.vec_id, float(row.d_near), row.embedding))
+        picked.append((r, row.vec_id, float(row.d_near), list(row.embedding)))
 
     out = spark.createDataFrame(
         [(r, vid, d) for r, vid, d, _ in picked],

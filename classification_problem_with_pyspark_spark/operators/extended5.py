@@ -141,7 +141,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed graphs, and the intersection work is JVM-side array_intersect
     with no extra shuffle beyond the two adjacency joins on vertex keys.
     """
-    e = _copurchase_edges(spark, sf_dir)
+    # r12 optimization (guide §3.3/§5): e feeds six consumers (degree
+    # build, orientation, anti side, n_nodes, n_edges), edir two, adj
+    # two — the unshared plan re-derived the fact self-join per consumer
+    # (36 lineitem scans, 304 physical nodes). Checkpointing the three
+    # graph-sized intermediates (all orders of magnitude smaller than
+    # the facts; same argument as the two graph keys below that already
+    # do this) makes it ONE fact self-join: 5.1 s -> 3.5 s med at sf0.1,
+    # and 1 fact pass instead of ~18 at 100 TB.
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     ends = e.select(F.col("p1").alias("node")).unionAll(
         e.select(F.col("p2").alias("node"))
     )
@@ -153,8 +161,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edir = ed.select(
         F.when(lt, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(lt, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
-    )
-    adj = edir.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    ).localCheckpoint(eager=True)
+    adj = edir.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    ).localCheckpoint(eager=True)
     a_src = adj.select(F.col("src").alias("j_src"), F.col("nbrs").alias("nbrs_src"))
     a_dst = adj.select(F.col("src").alias("j_dst"), F.col("nbrs").alias("nbrs_dst"))
     tri = (
@@ -2888,6 +2898,11 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     maxd = e.agg(F.max("ts").alias("corpus_max"))
+    # r12 optimization (guide §5): the three quintile pipelines each
+    # re-derived this user aggregate per branch (bucket histogram +
+    # bounds + rank per dimension — 32 events scans, 308 plan nodes).
+    # One checkpoint = one fact pass; the user table is the aggregate a
+    # 100 TB RFM job would materialize anyway (3.0 s -> ~1.5 s at sf0.1).
     per_user = (
         e.groupBy("user_id")
         .agg(
@@ -2902,6 +2917,7 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_c",
         )
+        .localCheckpoint(eager=True)
     )
     from classification_problem_with_pyspark_spark.plans.global_rank import (
         bucketed_global_rank,

@@ -257,23 +257,39 @@ def graph_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.expr("div(1000000, count(*) + 1)") + 1).cast("long").alias("cost")
         )
-        .localCheckpoint()
     )
-    state = spark.createDataFrame([(0, 0, 0)], "node long, cost long, hops long")
-    for _ in range(4):
-        relaxed = (
-            state.join(edges, state.node == edges.src)
-            .select(
-                F.col("dst").alias("node"),
-                (state.cost + edges.cost).alias("cost"),
-                (state.hops + 1).alias("hops"),
-            )
-            .unionByName(state)
-            .groupBy("node")
-            .agg(F.min(F.struct("cost", "hops")).alias("best"))
-            .select("node", F.col("best.cost").alias("cost"), F.col("best.hops").alias("hops"))
-        )
-        state = relaxed.localCheckpoint()
+
+    # r12 optimization (guide §4.2): the relaxation state is bounded by
+    # the NATION domain (≤25 nodes, ≤25² edges), so the former 4
+    # distributed rounds — each a join + lexmin groupBy + eager
+    # localCheckpoint, 32 jobs and ~5 s of construction-time round jobs
+    # at sf0.1 — collapse into ONE single-group applyInPandas fold over
+    # the aggregated edge relation. The Python fold replays the exact
+    # per-round min(new ∪ old) over (cost, hops) tuples — pure integer
+    # arithmetic, so the result is bit-identical (hash-verified). The
+    # fact-sized work (the edge aggregation) is untouched; only the
+    # dim-bounded iteration moved out of the scheduler.
+    def _bellman_ford(pdf):
+        import pandas as pd
+
+        es = list(zip(pdf["src"].astype(int), pdf["dst"].astype(int), pdf["cost"].astype(int)))
+        state = {0: (0, 0)}
+        for _ in range(4):
+            cand = dict(state)
+            for src, dst, ec in es:
+                if src in state:
+                    t = (state[src][0] + ec, state[src][1] + 1)
+                    if dst not in cand or t < cand[dst]:
+                        cand[dst] = t
+            state = cand
+        return pd.DataFrame(
+            [(n, c, h) for n, (c, h) in state.items()],
+            columns=["node", "cost", "hops"],
+        ).astype("int64")
+
+    state = edges.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        _bellman_ford, schema="node long, cost long, hops long"
+    )
     return state.select(
         F.col("node").alias("nationkey"),
         F.col("cost").alias("best_cost"),

@@ -102,6 +102,12 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), equi-joins back — no pair join, no entity-scale sort.
     """
     e = load(spark, sf_dir, "events")
+    # r12 (guide §5): u feeds both midrank maps AND the ranked join base —
+    # unshared, the per-user aggregate re-ran from the fact scan 5× (10
+    # events scans, 25 jobs in the before-plan). One checkpoint of the
+    # user aggregate (the same materialization agg_rfm_segmentation
+    # makes) = one fact pass; `ranked` below is lazy-checkpointed so the
+    # count job materializes it in passing for the moments pass.
     u = e.groupBy("user_id").agg(
         F.count("*").alias("x"),
         F.sum(
@@ -110,7 +116,7 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("CAST(round(value * 100) AS BIGINT)"),
             ).otherwise(0)
         ).alias("y"),
-    )
+    ).localCheckpoint(eager=True)
 
     # r9: the y (per-user spend cents) value grid is ENTITY-scale —
     # distinct totals grow with the user count — so the strictly-before
@@ -139,6 +145,7 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.join(rank2("x", 0), "x")
         .join(rank2("y", 16), "y")
         .select("user_id", "rx2", "ry2")
+        .localCheckpoint(eager=False)
     )
     tot = ranked.agg(F.count("*").cast("long").alias("n_rows_total"))
     m = ranked.crossJoin(F.broadcast(tot)).select(

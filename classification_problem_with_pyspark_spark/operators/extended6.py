@@ -1201,9 +1201,17 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = None
     v_prev = None
     for _ in range(3):
+        # r12 (guide §5): u_k feeds BOTH its own max-norm aggregate and
+        # v_k — unshared, iteration k+1's lineage re-ran every earlier
+        # iteration's join chain per consumer (the before-plan held 3
+        # recomputed chains; 11 s in the closing sweep). The lazy
+        # checkpoint costs no extra job: the mx aggregate — the first
+        # job over u_k — materializes the 64-row relation in passing.
+        # All arithmetic is unchanged (sums/rounds stay in the engine),
+        # so the result is bit-identical.
         u = gram.join(v, "j").groupBy("i").agg(
             F.sum(F.col("g") * F.col("v")).alias("u")
-        )
+        ).localCheckpoint(eager=False)
         mx = u.agg(F.max(F.abs(F.col("u"))).alias("mx"))
         v_prev = v
         v = u.crossJoin(F.broadcast(mx)).select(

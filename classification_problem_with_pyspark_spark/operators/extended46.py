@@ -31,9 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from classification_problem_with_pyspark_spark.functions.vector import dot, norm
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
@@ -254,31 +252,55 @@ def emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership on both engines is identical by construction.
 
     Scale: the directed top-k is the expensive stage (here the exact
-    broadcast nested-loop; at 100 TB the ANN keys — IVF / LSH /
-    sharded — produce the same (qid, nid, rank) relation); the mutual
-    step is ONE self-join of that O(V·k) relation on the reversed
-    pair, never a second pass over V² — the part this key pins.
+    Arrow/numpy mapInPandas — the BLAS side-data pattern the driver
+    hash-verified on llm_similarity_topk, which computes this exact
+    relation; at 100 TB the ANN keys — IVF / LSH / sharded — produce
+    the same (qid, nid, rank) relation); the mutual step is ONE
+    self-join of that O(V·k) relation on the reversed pair, never a
+    second pass over V² — the part this key pins.
+
+    r13 optimization (guide §4.2): the directed top-k previously ran
+    as the pure-JVM broadcast nested-loop + interpreted HOF dot + a
+    V²-row window rank, AND was re-derived on BOTH sides of the mutual
+    self-join (no subtree reuse) — two full V² passes. Now the top-k is
+    the proven one-BLAS-product-per-batch worker (identical rounding /
+    tie-break contract: ROUND(·,6), (sim DESC, nid), self excluded by
+    id) and the O(V·k) result is localCheckpoint'd (bounded: V·k rows)
+    so the self-join reads it instead of recomputing V².
     """
-    e = load(spark, sf_dir, "embeddings")
-    a = (
-        e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_a"))
-        .withColumn("norm_a", norm(F.col("emb_a")))
-        .repartition(64)
-    )
-    b = e.select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("emb_b")
-    ).withColumn("norm_b", norm(F.col("emb_b")))
-    sim = F.round(
-        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 6
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
-    topk = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", sim.alias("cosine_sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= KNN_K)
-    )
+    import numpy as np
+    import pandas as pd
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    k = KNN_K
+
+    def topk_batches(batches):
+        cand = pd.read_parquet(emb_path)
+        C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+        cnorm = np.sqrt((C * C).sum(axis=1))
+        cid = cand["vec_id"].to_numpy()
+        for pdf in batches:
+            P = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            pnorm = np.sqrt((P * P).sum(axis=1))
+            qids = pdf["vec_id"].to_numpy()
+            sims = np.round((P @ C.T) / np.outer(pnorm, cnorm), 6)
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for i, qid in enumerate(qids):
+                mask = cid != qid  # exclude self-match by id, not position
+                nid_m, s_m = cid[mask], sims[i][mask]
+                idx = np.lexsort((nid_m, -s_m))[:k]
+                out_q.extend([qid] * len(idx))
+                out_n.extend(nid_m[idx])
+                out_s.extend(s_m[idx])
+                out_r.extend(range(1, len(idx) + 1))
+            yield pd.DataFrame(
+                {"qid": out_q, "nid": out_n, "cosine_sim": out_s, "rnk": out_r}
+            )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(32)
+    topk = e.mapInPandas(
+        topk_batches, schema="qid long, nid long, cosine_sim double, rnk integer"
+    ).localCheckpoint(eager=False)
     fwd = topk.select(
         F.col("qid").alias("src"),
         F.col("nid").alias("dst"),

@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
@@ -92,67 +91,76 @@ def emb_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cosine keys: double accumulation, ROUND(·,6), (dist,
     centroid_id) tie-break, so the argmin is identical by construction.
 
-    Scale: vectors × (M·K) comparisons with the codebook BROADCAST —
-    one embarrassingly-parallel scan, no shuffle until the final
-    window, which partitions on (vec_id, subspace) — the encode pass
-    that runs at ingest rate on any number of executors.
+    Scale: vectors × (M·K) comparisons with the codebook held as
+    side data per worker — one embarrassingly-parallel scan, zero
+    shuffles — the encode pass that runs at ingest rate on any number
+    of executors.
+
+    r13 optimization (guide §4.2): the former JVM form fanned every
+    vector out through crossJoin(subspaces)×crossJoin(anchors) —
+    N·M·K rows, each paying an interpreted zip_with/aggregate fold —
+    then ranked rn=1 through a full (vec_id, subspace, dist) sort.
+    Now the codebook loads ONCE per task from the parquet side file
+    (the llm_similarity_topk side-data pattern, hash-verified there),
+    the anchor rule is replayed exactly (md5('pq_'||vec_id) % mod),
+    and each Arrow batch computes all M·K squared distances as one
+    vectorized float64 op with the same ROUND(sqrt,6) + (dist,
+    centroid_id) argmin tie-break. Only N·M assignment rows leave
+    Python; the window sort and both fan-out joins are gone.
     """
-    e = load(spark, sf_dir, "embeddings")
-    anchor_hash = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("pq_"), F.col("vec_id").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    anchors = e.where(anchor_hash % PQ_ANCHOR_MOD == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-    )
-    sub = spark.range(PQ_M).select(F.col("id").cast("long").alias("subspace"))
-    pairs = (
-        # embeddings is one parquet file → one input partition; spread it
-        # before the M×K broadcast fan-out so the distance folds run on
-        # all cores (single-file trap, BASELINE.md), and so the final
-        # (vec_id, subspace) window reads pre-clustered input.
-        e.select("vec_id", "embedding")
-        .repartition(32, "vec_id")
-        .crossJoin(F.broadcast(sub))
-        .crossJoin(F.broadcast(anchors))
-    )
-    # slice is 1-based; subspace s covers dims s·8+1 .. (s+1)·8
-    v_sub = F.slice(
-        F.col("embedding"), F.col("subspace") * PQ_SUBDIM + 1, PQ_SUBDIM
-    )
-    c_sub = F.slice(F.col("c_emb"), F.col("subspace") * PQ_SUBDIM + 1, PQ_SUBDIM)
-    sq = F.aggregate(
-        F.zip_with(
-            v_sub,
-            c_sub,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dists = pairs.select(
-        "vec_id",
-        "subspace",
-        "centroid_id",
-        F.round(F.sqrt(sq), 6).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id", "subspace").orderBy("dist", "centroid_id")
-    return (
-        dists.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "subspace",
-            F.col("centroid_id").alias("code"),
-            F.col("dist").alias("code_dist"),
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    m, subdim, mod = PQ_M, PQ_SUBDIM, PQ_ANCHOR_MOD
+
+    def assign_batches(batches):
+        cand = pd.read_parquet(emb_path)
+        keep = cand["vec_id"].map(
+            lambda v: int(hashlib.md5(f"pq_{v}".encode()).hexdigest()[:15], 16)
+            % mod
+            == 0
         )
-        .orderBy("vec_id", "subspace")
+        anchors = cand[keep]
+        cid = anchors["vec_id"].to_numpy()
+        C = np.stack(anchors["embedding"].to_numpy()).astype(np.float64)
+        order = np.argsort(cid)  # pre-sort so argmin ties pick the min id
+        cid, C = cid[order], C[order]
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            out = []
+            for s in range(m):
+                Vs = V[:, s * subdim : (s + 1) * subdim]
+                Cs = C[:, s * subdim : (s + 1) * subdim]
+                d2 = ((Vs[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=-1)
+                dist = np.round(np.sqrt(d2), 6)
+                # ties on rounded dist resolve to the smallest centroid_id:
+                # cid is ascending, and argmin returns the first minimum
+                best = dist.argmin(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vids,
+                            "subspace": np.int64(s),
+                            "code": cid[best],
+                            "code_dist": dist[np.arange(len(vids)), best],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(32)
     )
+    return e.mapInPandas(
+        assign_batches,
+        schema="vec_id long, subspace long, code long, code_dist double",
+    ).orderBy("vec_id", "subspace")
 
 
 @register(

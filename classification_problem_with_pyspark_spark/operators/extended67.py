@@ -101,53 +101,52 @@ def emb_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     build's own map pass); the census is one groupBy over
     2^{IVF_BITS} cells. The audit costs one scan — the rebuild it
     prevents costs the whole index.
+
+    r13 optimization (guide §2.4): the ±1 sign matrix is md5 of
+    CONSTANTS — (bit, dim) only, never data — so it folds at plan-build
+    time into {IVF_BITS} literal 64-element weight arrays (hashlib
+    replays the exact conv(substr(md5(…),1,15),16,10) %2 rule; the
+    oracle itself iterates i over range(64), so the 64-dim domain is
+    the key's stated contract). The former explode(64×) → crossJoin(
+    {IVF_BITS}×) → two keyed shuffles — N·512 rows, each paying an md5
+    per row — become one zip_with/aggregate fold per bit inside the
+    scan projection: zero shuffles before the {1 << IVF_BITS}-cell
+    census groupBy, and 512 md5s per PLAN instead of per VECTOR.
+    Integer sums are order-insensitive, so the fold is bit-identical.
     """
+    import hashlib
+
     e = load(spark, sf_dir, "embeddings")
-    # explode to (vec, dim, bit) and aggregate — a 3-column shuffle beats
-    # a 256-term per-row expression tree (codegen cost measured at ~5 s)
-    dims = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).select(
-        "vec_id",
-        "d",
-        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").alias("q"),
+    q_arr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
     )
-    bits = spark.range(IVF_BITS).select(F.col("id").cast("int").alias("b"))
-    sign = 1 - 2 * (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("ivf_"),
-                        F.col("b").cast("string"),
-                        F.lit("_"),
-                        F.col("d").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
-    proj = (
-        dims.crossJoin(F.broadcast(bits))
-        .select("vec_id", "b", (sign * F.col("q")).alias("w"))
-        .groupBy("vec_id", "b")
-        .agg(F.sum("w").alias("s"))
-    )
-    cells = (
-        proj.select(
-            "vec_id",
-            (
-                F.when(F.col("s") > 0, 1).otherwise(0)
-                * F.expr("shiftleft(1, b)")
-            ).alias("contrib"),
+    signs = {
+        b: [
+            1
+            - 2
+            * (
+                int(
+                    hashlib.md5(f"ivf_{b}_{d}".encode()).hexdigest()[:15], 16
+                )
+                % 2
+            )
+            for d in range(64)
+        ]
+        for b in range(IVF_BITS)
+    }
+    cell = None
+    for b in range(IVF_BITS):
+        w_arr = F.array(*[F.lit(w).cast("long") for w in signs[b]])
+        s_b = F.aggregate(
+            F.zip_with(q_arr, w_arr, lambda q, w: q * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        .groupBy("vec_id")
-        .agg(F.sum("contrib").cast("int").alias("cell"))
+        contrib = F.when(s_b > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        cell = contrib if cell is None else cell + contrib
+    cells = (
+        e.select(cell.cast("int").alias("cell"))
         .groupBy("cell")
         .agg(F.count("*").alias("n_vecs"))
     )

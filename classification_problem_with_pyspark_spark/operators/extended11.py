@@ -269,9 +269,21 @@ def graph_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic, so the result is bit-identical (hash-verified). The
     # fact-sized work (the edge aggregation) is untouched; only the
     # dim-bounded iteration moved out of the scheduler.
+    # ADVICE r12: groupBy(lit(0)) over an EMPTY edge relation yields zero
+    # groups, which would drop the unconditional seed row (node 0, cost 0,
+    # hops 0) the old loop and the oracle both emit. A null-cost sentinel
+    # row keeps the group alive on degenerate inputs; the fold drops it.
+    sentinel = spark.range(1).select(
+        F.lit(0).cast("long").alias("src"),
+        F.lit(0).cast("long").alias("dst"),
+        F.lit(None).cast("long").alias("cost"),
+    )
+    edges = edges.unionByName(sentinel)
+
     def _bellman_ford(pdf):
         import pandas as pd
 
+        pdf = pdf.dropna(subset=["cost"])
         es = list(zip(pdf["src"].astype(int), pdf["dst"].astype(int), pdf["cost"].astype(int)))
         state = {0: (0, 0)}
         for _ in range(4):

@@ -277,51 +277,44 @@ def graph_pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
-    # localCheckpoint: the fact-sized edge-build runs ONCE; without it the
-    # probs subtree is re-embedded (and re-planned) in all 10 iterations.
-    # Same discipline as llm_dedup_cluster_cc; swap for reliable
-    # checkpoint on a real cluster.
     probs = edges.select(
         "src",
         "dst",
         (F.col("w").cast("double") / F.sum("w").over(Window.partitionBy("src"))).alias("p"),
-    ).coalesce(1).localCheckpoint(eager=True)
-    nodes = (
-        probs.select(F.col("src").alias("node"))
-        .union(probs.select(F.col("dst").alias("node")))
-        .distinct()
     )
-    nds = (
-        nodes.crossJoin(nodes.agg(F.count("*").alias("n")))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    # The 10 iterations run as ONE unrolled SQL plan over the two
-    # checkpointed graph tables (EP2 entry point, SURVEY §3) — the same
-    # arithmetic as the per-iteration DataFrame loop, but a single job
-    # (~3 stages) instead of ~30 tiny stages with per-round scheduling
-    # overhead. Unique view names keep concurrent queries isolated.
-    import uuid
 
-    tag = uuid.uuid4().hex[:8]
-    probs.createOrReplaceTempView(f"pr_probs_{tag}")
-    nds.createOrReplaceTempView(f"pr_nds_{tag}")
-    iters = []
-    prev = "r0"
-    for i in range(1, _PR_ITERS + 1):
-        iters.append(
-            f"r{i} AS (SELECT nds.node, nds.n, "
-            f"0.15/nds.n + 0.85*COALESCE(SUM({prev}.r*probs.p), 0) AS r "
-            f"FROM pr_nds_{tag} nds "
-            f"LEFT JOIN pr_probs_{tag} probs ON probs.dst = nds.node "
-            f"LEFT JOIN {prev} ON {prev}.node = probs.src "
-            f"GROUP BY nds.node, nds.n)"
-        )
-        prev = f"r{i}"
-    ranks = spark.sql(
-        f"WITH r0 AS (SELECT node, n, 1.0/n AS r FROM pr_nds_{tag}),\n"
-        + ",\n".join(iters)
-        + f"\nSELECT node, r FROM {prev}"
+    # r13 optimization (guide §4.2): the graph is bounded by the NATION
+    # domain (≤25 nodes, ≤625 probability rows), so the 10 unrolled SQL
+    # iterations — each a double LEFT JOIN + GROUP BY over the
+    # checkpointed matrix, plus the nodes/nds subtrees and their two
+    # eager checkpoints — collapse into ONE single-group applyInPandas
+    # fixpoint over the probability rows (the Bellman–Ford /
+    # Bradley–Terry pattern from r12). The node set and its count
+    # derive from the same rows inside the fold (distinct src ∪ dst —
+    # exactly the former nodes CTE), making the fact-sized edge build
+    # the plan's ONLY consumer-once subtree: no checkpoint needed at
+    # all. Per-iteration arithmetic is the identical float64
+    # 0.15/n + 0.85·Σ r·p; summation order differs from the engine's
+    # GROUP BY fold, which the final ROUND(·,6) absorbs exactly as it
+    # already absorbed the Spark-vs-DuckDB order difference (drift over
+    # 10 iterations ~1e-14, stated in the docstring).
+    def _pagerank_fold(pdf):
+        import numpy as np
+        import pandas as pd
+
+        nodes = sorted(set(pdf["src"]) | set(pdf["dst"]))
+        n = len(nodes)
+        idx = {v: i for i, v in enumerate(nodes)}
+        P = np.zeros((n, n))
+        for s_, d_, p_ in zip(pdf["src"], pdf["dst"], pdf["p"]):
+            P[idx[s_], idx[d_]] = p_
+        r = np.full(n, 1.0 / n)
+        for _ in range(_PR_ITERS):
+            r = 0.15 / n + 0.85 * (P.T @ r)
+        return pd.DataFrame({"node": [int(v) for v in nodes], "r": r})
+
+    ranks = probs.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        _pagerank_fold, schema="node long, r double"
     )
     return ranks.join(F.broadcast(n), ranks.node == n.n_nationkey).select(
         F.col("n_name").alias("nation"),

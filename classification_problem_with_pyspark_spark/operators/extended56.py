@@ -143,6 +143,11 @@ def emb_farthest_first_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         dists = [dist_to(emb) for _, _, _, emb in picked]
         d_near = F.least(*dists) if len(dists) > 1 else dists[0]
         cand = (
+            # ADVICE r12: ~isin(ids) is NULL (row dropped) for a NULL
+            # vec_id where the former left_anti join kept it. vec_id is
+            # the embeddings fixture's non-null primary key (FIXTURES.md;
+            # every oracle joins on it), so the invariant holds by
+            # construction — add isNotNull handling if that ever changes.
             e.where(~F.col("vec_id").isin(ids))
             .select("vec_id", "embedding", d_near.alias("d_near"))
             .orderBy(F.desc("d_near"), "vec_id")

@@ -155,39 +155,45 @@ def graph_harmonic_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataF
         # earlier hop's joins AND truncates the growing lineage
         .localCheckpoint(eager=True)
     )
-    hops = [h1]
-    visited = h1
-    for step in range(2):
-        prev = hops[-1]
-        # frontier → incident orders (dedup) → co-parts. dst == an
-        # earlier-reached node is removed by the visited anti-join
-        # (frontier ⊆ visited), dst == seed explicitly — together they
-        # reproduce the edge relation's src ≠ dst set algebra.
-        frontier_orders = (
-            prev
-            .join(li, prev.node == li.l_partkey)
+
+    # r13 optimization (guide §2.4): the per-hop VISITED anti-joins are
+    # gone. Expanding hop k+1 from the full deduped reach-≤k candidate
+    # set (instead of the exact first-reach frontier) only ever finds
+    # paths of length ≤ k+1, so tagging each candidate set with its hop
+    # and taking MIN(hop) per (seed, node) at the end reproduces the
+    # oracle's NOT-EXISTS first-reach sets EXACTLY: every distance-d
+    # node (d ≤ 3) appears in candidate set d (it is adjacent to a
+    # distance-(d-1) node, which set d-1 contains), and min() discards
+    # the re-reached shorter-distance members the anti-joins used to
+    # subtract. Removes two SortMergeJoin LeftAnti (+ the visited-union
+    # exchanges) and hop 3's standalone distinct — its dedup fuses into
+    # the final min-hop aggregate's partial/final passes. The extra
+    # expansion sources (reach-≤2 instead of exactly-2) are the tiny
+    # hop-1 overlap of a dense ball; cost stays ball-bounded.
+    def expand(frontier):
+        fo = (
+            frontier
+            .join(li, frontier.node == li.l_partkey)
             .select("seed", "l_orderkey")
             .distinct()
         )
-        nxt = (
-            frontier_orders
-            .join(li, "l_orderkey")
+        return (
+            fo.join(li, "l_orderkey")
             .where(F.col("l_partkey") != F.col("seed"))
             .select("seed", F.col("l_partkey").alias("node"))
-            .distinct()
-            .join(visited, ["seed", "node"], "left_anti")
         )
-        if step == 0:  # the last hop is consumed once — no reuse to save
-            nxt = nxt.localCheckpoint(eager=True)
-        hops.append(nxt)
-        # hop sets are pairwise disjoint by the anti-join — plain union
-        visited = visited.unionByName(nxt)
-    tagged = None
-    for i, h in enumerate(hops):
-        t = h.select("seed", F.lit(i + 1).alias("hop"))
-        tagged = t if tagged is None else tagged.unionByName(t)
+
+    r2 = expand(h1).distinct().localCheckpoint(eager=True)  # reach ≤ 2
+    r3 = expand(r2)  # raw ≤3-reach candidates; min-hop agg dedups
+
+    tagged = (
+        h1.select("seed", "node", F.lit(1).alias("hop"))
+        .unionByName(r2.select("seed", "node", F.lit(2).alias("hop")))
+        .unionByName(r3.select("seed", "node", F.lit(3).alias("hop")))
+    )
+    first = tagged.groupBy("seed", "node").agg(F.min("hop").alias("hop"))
     return (
-        tagged.groupBy("seed")
+        first.groupBy("seed")
         .agg(
             *[
                 F.sum(F.when(F.col("hop") == i, 1).otherwise(0))

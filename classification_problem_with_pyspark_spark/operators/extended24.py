@@ -234,66 +234,61 @@ SRP_SIG_SQL = f"""
 def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, signature) for every embedding — the shared SRP
     pipeline behind emb_srp_signature and emb_bucket_label_purity."""
-    # Single-file trap fix + md5 hoist (round 4): the plane weight
-    # md5("srp_<p>_<d>") depends only on (plane, dim) — 16×64 = 1,024
-    # distinct values — yet the original plan recomputed it per
-    # (vector, dim, plane) row: N·64·16 md5s in ONE task (embeddings is
-    # a single parquet file). Materialize the bounded ±1 weight matrix
-    # once and broadcast-join it; the dim domain is derived from the
-    # data so a different corpus width cannot silently drop terms.
+    # Round-4 md5 hoist, r13 constant fold (guide §2.4): the plane
+    # weight md5("srp_<p>_<d>") depends only on (plane, dim), so the
+    # whole ±1 matrix folds to plan literals — hashlib replays the exact
+    # conv(substr(md5(…),1,15),16,10) % 2 rule. The former
+    # explode(dims) → broadcast-join(weights) → groupBy(vec, label, p)
+    # → groupBy(vec, label) pipeline (N·planes·dims rows through two
+    # keyed shuffles) becomes ONE per-row projection: a null-safe
+    # zip_with/aggregate fold per plane. The dim domain still derives
+    # from the data (a bounded 1-row max-width lookup sizes the weight
+    # arrays), and the coalesce(q·w, 0) inside the fold makes shorter
+    # rows sum over exactly their present dims — the explode form's
+    # semantics for ANY corpus width, not just the 64-dim fixture.
+    # Integer sums are order-insensitive, so signatures are identical.
+    import hashlib
+
     emb = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
-    dims = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("d", "x"),
-    ).select(
-        "vec_id",
-        "label",
-        "d",
-        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").alias("q"),
-    )
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
-    weights = (
-        dims.select("d")
-        .distinct()
-        .crossJoin(planes)
-        .select(
-            "d",
-            "p",
-            (
-                1
-                - 2
-                * (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit("srp_"),
-                                    F.col("p").cast("string"),
-                                    F.lit("_"),
-                                    F.col("d").cast("string"),
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % 2
-                )
-            ).alias("w"),
+    dim_n = emb.select(F.max(F.size("embedding"))).first()[0] or 0
+    # posexplode (and the oracle's unnest) DROP empty/null-embedding rows;
+    # the per-row fold must do the same, not emit an all-bits signature.
+    emb = emb.where(F.size("embedding") > 0)
+    if dim_n <= 0:
+        return emb.select(
+            "vec_id", "label", F.lit(0).cast("long").alias("signature")
         )
+    q_arr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
     )
-    proj = (
-        dims.join(F.broadcast(weights), "d")
-        .groupBy("vec_id", "label", "p")
-        .agg(F.sum(F.col("w") * F.col("q")).alias("s"))
-    )
-    return proj.groupBy("vec_id", "label").agg(
-        F.sum(F.expr("CASE WHEN s >= 0 THEN 1 ELSE 0 END * shiftleft(1, p)"))
-        .cast("long")
-        .alias("signature")
+    signature = None
+    for p in range(N_PLANES):
+        w_arr = F.array(
+            *[
+                F.lit(
+                    1
+                    - 2
+                    * (
+                        int(
+                            hashlib.md5(f"srp_{p}_{d}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        % 2
+                    )
+                ).cast("long")
+                for d in range(dim_n)
+            ]
+        )
+        s_p = F.aggregate(
+            F.zip_with(q_arr, w_arr, lambda q, w: F.coalesce(q * w, F.lit(0).cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        contrib = F.when(s_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        signature = contrib if signature is None else signature + contrib
+    return emb.select(
+        "vec_id", "label", signature.cast("long").alias("signature")
     )
 
 

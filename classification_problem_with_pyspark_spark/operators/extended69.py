@@ -102,7 +102,12 @@ def join_role_playing_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         # normalize Spark's 1=Sun..7 to the dim's 0=Sun..6 convention
         (F.dayofweek("d") - 1).cast("long").alias("dow"),
         ((F.dayofweek("d") == 1) | (F.dayofweek("d") == 7)).alias("is_weekend"),
-    )
+        # r13 (guide §5): the conformed calendar feeds BOTH role joins;
+        # without a checkpoint each broadcast rebuilt the dates-union
+        # subtree — two extra scans of each fact per execution. The dim
+        # is calendar-bounded (≤ a few thousand rows), the r12
+        # bounded-intermediate discipline.
+    ).localCheckpoint(eager=True)
     fact = li.join(o, "k")
     co = cal.select(F.col("d").alias("od"), F.col("dow").alias("order_dow"))
     cs = cal.select(

@@ -46,6 +46,7 @@ def _is_eager(name: str) -> bool:
     return name.startswith(_EAGER_PREFIXES) or name in _EAGER_KEYS
 
 
+@pytest.mark.slow
 def test_no_unhashable_outputs_lazy_sweep(spark):
     """Schema-analyze every lazily-buildable key — cheap, full breadth."""
     hazards = {}

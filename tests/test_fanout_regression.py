@@ -22,24 +22,28 @@ from tests.conftest import SF_DIR
 
 load_all_modules()
 
-# key → the row-identity column its pre-fan-out repartition hashes on
+# key → the Exchange partitioning its pre-fan-out repartition must leave
+# in the plan: "hashpartitioning(<row key>" for keyed repartitions,
+# "roundrobinpartitioning" where the heavy stage is a side-data
+# mapInPandas worker spread round-robin (r13: emb_pq_codebook_assign
+# joined that family — the llm_similarity_topk pattern).
 FIXED_FANOUTS = {
-    "llm_retrieval_mrr": "qid",
-    "emb_srp_signature": "vec_id",
-    "llm_cdc_chunk_dedup": "doc_id",
-    "agg_bootstrap_ci_revenue": "o_orderkey",
-    "emb_pq_codebook_assign": "vec_id",
-    "llm_source_overlap_matrix": "doc_id",
-    "llm_dedup_threshold_curve": "doc_id",
-    "llm_rank_fusion_rrf": "qid",
+    "llm_retrieval_mrr": "hashpartitioning(qid",
+    "emb_srp_signature": "hashpartitioning(vec_id",
+    "llm_cdc_chunk_dedup": "hashpartitioning(doc_id",
+    "agg_bootstrap_ci_revenue": "hashpartitioning(o_orderkey",
+    "emb_pq_codebook_assign": "RoundRobinPartitioning",
+    "llm_source_overlap_matrix": "hashpartitioning(doc_id",
+    "llm_dedup_threshold_curve": "hashpartitioning(doc_id",
+    "llm_rank_fusion_rrf": "hashpartitioning(qid",
 }
 
 
-@pytest.mark.parametrize("key,col", sorted(FIXED_FANOUTS.items()))
-def test_fanout_operator_spreads_scan_before_explode(spark, key, col):
+@pytest.mark.parametrize("key,part", sorted(FIXED_FANOUTS.items()))
+def test_fanout_operator_spreads_scan_before_explode(spark, key, part):
     plan = formatted_plan(QUERIES[key].fn(spark, SF_DIR))
-    assert f"hashpartitioning({col}" in plan, (
-        f"{key}: no Exchange hashpartitioning({col}, ...) in the plan — "
+    assert f"Exchange {part}" in plan or part in plan, (
+        f"{key}: no Exchange {part}(...) in the plan — "
         f"the pre-fan-out repartition was removed; on single-file testdata "
-        f"the explode/md5 stage would run in ONE task (see de6aab2)"
+        f"the heavy per-row stage would run in ONE task (see de6aab2)"
     )

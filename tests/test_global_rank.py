@@ -4,6 +4,8 @@ entity-scale relations, verified against Spark's own global window
 functions on small data (where the single-task reference is safe)."""
 
 import pytest
+
+pytestmark = pytest.mark.slow  # registry-wide / helper-identity sweeps: CI surface (VERDICT r12 #2)
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

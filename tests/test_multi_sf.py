@@ -9,6 +9,8 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.slow  # registry-wide / helper-identity sweeps: CI surface (VERDICT r12 #2)
+
 from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
 from classification_problem_with_pyspark_spark.sources.catalog import TABLES
 from tests.parity import compare

@@ -18,6 +18,8 @@ this sweep is the cheap lazy-plan dragnet over everything else.
 
 from __future__ import annotations
 
+import pytest
+
 from classification_problem_with_pyspark_spark.plans.explain import formatted_plan
 from classification_problem_with_pyspark_spark.registry import QUERIES, load_all_modules
 from tests.conftest import SF_DIR
@@ -50,6 +52,7 @@ def _auditable():
         yield name
 
 
+@pytest.mark.slow
 def test_no_scale_antipatterns_anywhere(spark):
     # one sweep, both checks — building ~180 plans dominates the cost
     cartesian, row_udf = [], []

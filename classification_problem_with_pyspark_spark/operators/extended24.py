@@ -234,61 +234,88 @@ SRP_SIG_SQL = f"""
 def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, signature) for every embedding — the shared SRP
     pipeline behind emb_srp_signature and emb_bucket_label_purity."""
-    # Round-4 md5 hoist, r13 constant fold (guide §2.4): the plane
+    # Round-4 md5 hoist, r13 vectorization (guide §4.2): the plane
     # weight md5("srp_<p>_<d>") depends only on (plane, dim), so the
-    # whole ±1 matrix folds to plan literals — hashlib replays the exact
-    # conv(substr(md5(…),1,15),16,10) % 2 rule. The former
-    # explode(dims) → broadcast-join(weights) → groupBy(vec, label, p)
-    # → groupBy(vec, label) pipeline (N·planes·dims rows through two
-    # keyed shuffles) becomes ONE per-row projection: a null-safe
-    # zip_with/aggregate fold per plane. The dim domain still derives
-    # from the data (a bounded 1-row max-width lookup sizes the weight
-    # arrays), and the coalesce(q·w, 0) inside the fold makes shorter
-    # rows sum over exactly their present dims — the explode form's
-    # semantics for ANY corpus width, not just the 64-dim fixture.
-    # Integer sums are order-insensitive, so signatures are identical.
+    # ±1 matrix is built ONCE per task with hashlib (replaying the exact
+    # conv(substr(md5(…),1,15),16,10) % 2 rule) and the projection is
+    # one INTEGER matrix product per Arrow batch — exact int64
+    # arithmetic, order-insensitive, so signatures are bit-identical to
+    # the explode → broadcast-join → double-groupBy pipeline this
+    # replaces (N·planes·dims rows through two keyed shuffles → zero
+    # pre-signature shuffles). Quantization replays Spark/DuckDB
+    # ROUND's half-away-from-zero ties exactly (floor(x+.5)/ceil(x-.5)),
+    # the weight matrix is sized to each batch's own row width (the dim
+    # domain still derives from the data), and zero-width rows are
+    # dropped exactly as posexplode/unnest drop them. An interpreted
+    # per-row zip_with/aggregate fold was measured FIRST and rejected:
+    # 1.4 s → 5.9 s (16×64 interpreted lambdas per row + 1,024-literal
+    # plan analysis) — the batch matmul is the right §4.2 form.
     import hashlib
 
-    emb = load(spark, sf_dir, "embeddings").repartition(32, "vec_id")
-    dim_n = emb.select(F.max(F.size("embedding"))).first()[0] or 0
-    # posexplode (and the oracle's unnest) DROP empty/null-embedding rows;
-    # the per-row fold must do the same, not emit an all-bits signature.
-    emb = emb.where(F.size("embedding") > 0)
-    if dim_n <= 0:
-        return emb.select(
-            "vec_id", "label", F.lit(0).cast("long").alias("signature")
-        )
-    q_arr = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    import numpy as np
+    import pandas as pd
+
+    n_planes = N_PLANES
+
+    def sign_batches(batches):
+        w_cache: dict[int, np.ndarray] = {}
+
+        def weights(width: int) -> np.ndarray:
+            w = w_cache.get(width)
+            if w is None:
+                w = np.array(
+                    [
+                        [
+                            1
+                            - 2
+                            * (
+                                int(
+                                    hashlib.md5(
+                                        f"srp_{p}_{d}".encode()
+                                    ).hexdigest()[:15],
+                                    16,
+                                )
+                                % 2
+                            )
+                            for d in range(width)
+                        ]
+                        for p in range(n_planes)
+                    ],
+                    dtype=np.int64,
+                )
+                w_cache[width] = w
+            return w
+
+        for pdf in batches:
+            embs = pdf["embedding"].to_numpy()
+            widths = np.array([len(e) for e in embs])
+            keep = widths > 0  # posexplode/unnest drop empty rows
+            out_sig = np.zeros(len(embs), dtype=np.int64)
+            for width in np.unique(widths[keep]):
+                idx = np.nonzero(widths == width)[0]
+                x = np.stack(embs[idx]).astype(np.float64) * 1_000_000.0
+                q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+                    np.int64
+                )
+                s = q @ weights(int(width)).T  # exact int64
+                out_sig[idx] = ((s >= 0).astype(np.int64) << np.arange(n_planes)).sum(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "label": pdf["label"].to_numpy()[keep],
+                    "signature": out_sig[keep],
+                }
+            )
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .repartition(32, "vec_id")
     )
-    signature = None
-    for p in range(N_PLANES):
-        w_arr = F.array(
-            *[
-                F.lit(
-                    1
-                    - 2
-                    * (
-                        int(
-                            hashlib.md5(f"srp_{p}_{d}".encode()).hexdigest()[:15],
-                            16,
-                        )
-                        % 2
-                    )
-                ).cast("long")
-                for d in range(dim_n)
-            ]
-        )
-        s_p = F.aggregate(
-            F.zip_with(q_arr, w_arr, lambda q, w: F.coalesce(q * w, F.lit(0).cast("long"))),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        contrib = F.when(s_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        signature = contrib if signature is None else signature + contrib
-    return emb.select(
-        "vec_id", "label", signature.cast("long").alias("signature")
+    return emb.mapInPandas(
+        sign_batches, schema="vec_id long, label int, signature long"
     )
 
 

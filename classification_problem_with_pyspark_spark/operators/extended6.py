@@ -1682,31 +1682,40 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     h0 = spark.range(1).select(F.lit(0).cast("long").alias("node"))
-    levels = [h0]
-    visited = h0
-    for _ in range(3):
-        frontier = levels[-1]
-        frontier_orders = (
-            frontier
-            .join(li, frontier.node == li.l_partkey)
+
+    # r13 optimization (guide §2.4, the harmonic-centrality twin): the
+    # per-hop VISITED anti-joins and the growing visited distinct-union
+    # checkpoints are gone. Expanding hop k+1 from the deduped reach-≤k
+    # candidate set only finds paths of length ≤ k+1, so tagging each
+    # candidate set with its hop and taking MIN(hop) per node at the end
+    # reproduces the oracle's NOT-IN first-reach levels exactly: every
+    # distance-d node appears in candidate set d (it is adjacent to a
+    # distance-(d-1) node, which set d-1 contains) and min() discards
+    # re-reached closer nodes — including the source itself, which
+    # re-enters via back-edges and is pinned to hop 0 by its h0 tag.
+    # 6 eager checkpoints (3 frontiers + 3 visited unions) become 2, and
+    # hop 3's standalone distinct fuses into the min-hop aggregate.
+    def expand(nodes):
+        fo = (
+            nodes
+            .join(li, nodes.node == li.l_partkey)
             .select("l_orderkey")
             .distinct()
         )
-        nxt = (
-            frontier_orders
-            .join(li, "l_orderkey")
-            .select(F.col("l_partkey").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)  # ball-sized; truncates lineage
-        )
-        levels.append(nxt)
-        visited = visited.union(nxt).distinct().localCheckpoint(eager=True)
-    out = None
-    for hop, lv in enumerate(levels):
-        tagged = lv.select(F.lit(hop).cast("long").alias("hop"), "node")
-        out = tagged if out is None else out.union(tagged)
-    return out.groupBy("hop").agg(F.count("*").cast("long").alias("n_nodes"))
+        return fo.join(li, "l_orderkey").select(F.col("l_partkey").alias("node"))
+
+    r1 = expand(h0).distinct().localCheckpoint(eager=True)  # reach ≤ 1
+    r2 = expand(r1).distinct().localCheckpoint(eager=True)  # reach ≤ 2
+    r3 = expand(r2)  # raw ≤3-reach candidates; the min-hop agg dedups
+
+    tagged = (
+        h0.select(F.lit(0).cast("long").alias("hop"), "node")
+        .union(r1.select(F.lit(1).cast("long").alias("hop"), "node"))
+        .union(r2.select(F.lit(2).cast("long").alias("hop"), "node"))
+        .union(r3.select(F.lit(3).cast("long").alias("hop"), "node"))
+    )
+    first = tagged.groupBy("node").agg(F.min("hop").alias("hop"))
+    return first.groupBy("hop").agg(F.count("*").cast("long").alias("n_nodes"))
 
 
 @register(

@@ -230,6 +230,7 @@ FRONT_KEYS: tuple[str, ...] = (
     "graph_harmonic_centrality_sampled",
     "emb_srp_signature",
     "join_role_playing_calendar",
+    "graph_bfs_3hop",
     # (3) freshness fill (rotation_plan.py order, dups removed)
     "scalar_datetime_suite",
     "llm_dedup_exact_hash",
@@ -255,7 +256,6 @@ FRONT_KEYS: tuple[str, ...] = (
     "llm_ngram_novelty",
     "llm_sample_hash_stratified",
     "llm_perplexity_proxy",
-    "llm_dedup_pipeline_exact",
 )
 
 

@@ -103,7 +103,18 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", F.split("text", " ").alias("ws")
     )
     n = NGRAM_N
-    shingles = (
+    # r13 optimization (guide §2.4): the distinct per-source digest set
+    # fed THREE consumers (sizes + both self-join sides), so the
+    # explode+distinct pipeline ran three times and the overlap paid a
+    # digest-keyed self-join on top. One digest-grouped pass now
+    # aggregates each digest's (bounded, ≤|sources|) source set and
+    # emits BOTH the per-source size rows and the per-pair overlap rows
+    # from a single explode — same integer counts by set algebra
+    # (collect_set dedups exactly as the old distinct did; a digest
+    # containing sources {x, y} contributes 1 to the pair (x, y) just
+    # as the self-join counted it). Only the ≤|sources|²-row count
+    # relation is checkpointed (bounded; lazy).
+    srcs_per_digest = (
         toks.where(F.size("ws") >= n)
         .select(
             "source",
@@ -115,16 +126,44 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .select("source", F.md5("shingle").alias("digest"))
-        .distinct()
+        .groupBy("digest")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
     )
-    sizes = shingles.groupBy("source").agg(F.count("*").alias("n_digests"))
-    a = shingles.select(F.col("source").alias("source_a"), "digest")
-    b = shingles.select(F.col("source").alias("source_b"), "digest")
-    overlaps = (
-        a.join(b, "digest")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("shared"))
+    counts = (
+        srcs_per_digest.select(
+            F.explode(
+                F.concat(
+                    F.transform(
+                        "srcs",
+                        lambda s: F.struct(
+                            s.alias("sa"),
+                            F.lit(None).cast("string").alias("sb"),
+                        ),
+                    ),
+                    F.flatten(
+                        F.transform(
+                            "srcs",
+                            lambda x, i: F.transform(
+                                F.slice("srcs", i + F.lit(2), F.size("srcs")),
+                                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.sa", "e.sb")
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = counts.where(F.col("sb").isNull()).select(
+        F.col("sa").alias("source"), F.col("cnt").alias("n_digests")
+    )
+    overlaps = counts.where(F.col("sb").isNotNull()).select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("cnt").alias("shared"),
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n_digests").alias("n_a"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("n_digests").alias("n_b"))

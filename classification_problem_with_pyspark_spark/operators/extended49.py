@@ -35,6 +35,69 @@ from classification_problem_with_pyspark_spark.registry import register
 from classification_problem_with_pyspark_spark.sources.catalog import load
 
 NGRAM_N = 5  # word-shingle width for the overlap matrix
+
+
+def _overlap_counts(toks: DataFrame, n: int) -> DataFrame:
+    """(sa, sb, cnt) rows for the source-overlap matrix: sb NULL rows
+    are per-source distinct-digest sizes, sb non-NULL rows are per-pair
+    shared-digest counts — both emitted from ONE digest-grouped pass.
+
+    r13 optimization (guide §2.4): the distinct per-source digest set
+    used to feed THREE consumers (sizes + both self-join sides), so the
+    explode+distinct pipeline ran three times and the overlap paid a
+    digest-keyed self-join on top. One groupBy(digest) now aggregates
+    each digest's (bounded, ≤|sources|) source set and a single explode
+    emits both row kinds — the same integer counts by set algebra
+    (collect_set dedups exactly as the old per-source distinct did; a
+    digest containing sources {x, y} contributes 1 to the pair (x, y)
+    just as the self-join counted it). The caller checkpoints the
+    resulting ≤|sources|²-row relation (bounded; lazy). Kept as a
+    module-level helper so the fan-out regression tripwire can assert
+    the pre-checkpoint plan (the LogicalRDD boundary hides it from the
+    registered key's own explain output).
+    """
+    srcs_per_digest = (
+        toks.where(F.size("ws") >= n)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                    lambda i: F.array_join(F.slice("ws", i, n), " "),
+                )
+            ).alias("shingle"),
+        )
+        .select("source", F.md5("shingle").alias("digest"))
+        .groupBy("digest")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+    )
+    return (
+        srcs_per_digest.select(
+            F.explode(
+                F.concat(
+                    F.transform(
+                        "srcs",
+                        lambda s: F.struct(
+                            s.alias("sa"),
+                            F.lit(None).cast("string").alias("sb"),
+                        ),
+                    ),
+                    F.flatten(
+                        F.transform(
+                            "srcs",
+                            lambda x, i: F.transform(
+                                F.slice("srcs", i + F.lit(2), F.size("srcs")),
+                                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.sa", "e.sb")
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("cnt"))
+    )
 HASH_BITS = 10  # feature-hashing buckets = 2^10 = 1024
 
 
@@ -103,60 +166,7 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", F.split("text", " ").alias("ws")
     )
     n = NGRAM_N
-    # r13 optimization (guide §2.4): the distinct per-source digest set
-    # fed THREE consumers (sizes + both self-join sides), so the
-    # explode+distinct pipeline ran three times and the overlap paid a
-    # digest-keyed self-join on top. One digest-grouped pass now
-    # aggregates each digest's (bounded, ≤|sources|) source set and
-    # emits BOTH the per-source size rows and the per-pair overlap rows
-    # from a single explode — same integer counts by set algebra
-    # (collect_set dedups exactly as the old distinct did; a digest
-    # containing sources {x, y} contributes 1 to the pair (x, y) just
-    # as the self-join counted it). Only the ≤|sources|²-row count
-    # relation is checkpointed (bounded; lazy).
-    srcs_per_digest = (
-        toks.where(F.size("ws") >= n)
-        .select(
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
-                    lambda i: F.array_join(F.slice("ws", i, n), " "),
-                )
-            ).alias("shingle"),
-        )
-        .select("source", F.md5("shingle").alias("digest"))
-        .groupBy("digest")
-        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-    )
-    counts = (
-        srcs_per_digest.select(
-            F.explode(
-                F.concat(
-                    F.transform(
-                        "srcs",
-                        lambda s: F.struct(
-                            s.alias("sa"),
-                            F.lit(None).cast("string").alias("sb"),
-                        ),
-                    ),
-                    F.flatten(
-                        F.transform(
-                            "srcs",
-                            lambda x, i: F.transform(
-                                F.slice("srcs", i + F.lit(2), F.size("srcs")),
-                                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
-                            ),
-                        )
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.sa", "e.sb")
-        .groupBy("sa", "sb")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
+    counts = _overlap_counts(toks, n).localCheckpoint(eager=False)
     sizes = counts.where(F.col("sb").isNull()).select(
         F.col("sa").alias("source"), F.col("cnt").alias("n_digests")
     )

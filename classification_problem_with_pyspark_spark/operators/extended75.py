@@ -105,33 +105,18 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d")
     )
-    # r13 optimization (guide §2.4): the edge list is symmetric (the
-    # self-join emits both orientations), so every node's in-degree
-    # equals its out-degree and the marginal moments fold from the
-    # degree table alone — node u appears as src (and as dst) exactly
-    # d(u) times, hence m = Σd, sx = sy = Σd², sxx = syy = Σd³. Only
-    # the joint moment needs the edge list: sxy = Σ_u d(u)·t(u) with
-    # t(u) = Σ_{v∈N(u)} d(v). That is ONE |E|-sized join (+ a map-side
-    # combinable per-node rollup) instead of two |E|-sized joins
-    # feeding an |E|-row moment pass. All sums are exact integers, so
-    # the regrouping is bit-identical.
-    t = (
-        edges.join(
-            deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst"
-        )
-        .groupBy("src")
-        .agg(F.sum("dy").alias("t"))
+    pairs = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
+        .select("dx", "dy")
     )
-    mom = (
-        deg.join(t.select(F.col("src").alias("node"), "t"), "node")
-        .agg(
-            F.sum("d").cast("long").alias("m"),
-            F.sum(F.col("d") * F.col("d")).cast("long").alias("sx"),
-            F.sum(F.col("d") * F.col("d")).cast("long").alias("sy"),
-            F.sum(F.col("d") * F.col("t")).cast("long").alias("sxy"),
-            F.sum(F.col("d") * F.col("d") * F.col("d")).cast("long").alias("sxx"),
-            F.sum(F.col("d") * F.col("d") * F.col("d")).cast("long").alias("syy"),
-        )
+    mom = pairs.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
     )
     return mom.select(
         F.col("m").alias("n_directed_edges"),

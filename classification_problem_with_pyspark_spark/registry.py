@@ -194,9 +194,11 @@ def load_all_modules() -> None:
 # exception (b): evidence follows change). The r12 grading window closed
 # cumulative coverage at 545/545 green, so this window re-grades, in
 # order: (1) the 17 keys the r12 optimization round REWROTE — their
-# latest driver grades predate the rewrites; (2) the 8 keys THIS round's
+# latest driver grades predate the rewrites; (2) the keys THIS round's
 # optimizations materially re-planned (the other r13-touched keys are
-# already inside the 17); (3) the freshness order from
+# already inside the 17; graph_degree_assortativity stays fronted even
+# though its rewrite was measured-and-reverted — its plan equals r12's
+# and its last grade is r2-old); (3) the freshness order from
 # `scripts/rotation_plan.py` (latest-grade-oldest-first — all r2-latest)
 # to fill 50. Rows-only keys grade as `err: no_oracle` with stable row
 # counts (the r2/r3 precedent). Every key below was vanilla-session
